@@ -195,7 +195,8 @@ def _to_batch(traj: Dict[str, Any]) -> TrajectoryBatch:
     )
 
 
-@dataclasses.dataclass
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class RolloutStats:
     """Per-batch episode-score statistics (the reference's
     ``log_rollout_statistics``: stoc_pol_mean/std/max/min, success_rate)."""

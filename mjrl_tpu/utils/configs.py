@@ -1,0 +1,121 @@
+"""Typed run configs + factory: config dict/JSON -> env/policy/baseline/agent.
+
+Capability twin of the reference's job-script config plumbing (reference:
+examples/policy_opt_job_script.py — a Python/JSON dict of hyperparameters
+passed to ctors by name). Hyperparameter names match the reference
+(SURVEY.md §5.6) so parity audits can diff configs side by side; the config
+of record is serialized to ``job_dir/config.json``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+from mjrl_tpu import envs
+from mjrl_tpu.algos import DAPG, NPG, PPO, TRPO, BatchREINFORCE
+from mjrl_tpu.models import (
+    GaussianLinear,
+    GaussianMLP,
+    LinearBaseline,
+    MLPBaseline,
+    QuadraticBaseline,
+    ZeroBaseline,
+)
+
+ALGOS = {
+    "reinforce": BatchREINFORCE,
+    "npg": NPG,
+    "trpo": TRPO,
+    "ppo": PPO,
+    "dapg": DAPG,
+}
+BASELINES = {
+    "zero": ZeroBaseline,
+    "linear": LinearBaseline,
+    "quadratic": QuadraticBaseline,
+    "mlp": MLPBaseline,
+}
+POLICIES = {"mlp": GaussianMLP, "linear": GaussianLinear}
+
+
+@dataclasses.dataclass
+class RunConfig:
+    """One training run. Field names follow the reference's hyperparameters."""
+
+    env_name: str = "point_mass"
+    env_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    algorithm: str = "npg"
+    seed: int = 0
+    niter: int = 100
+    # policy
+    policy: str = "mlp"
+    hidden_sizes: Tuple[int, ...] = (64, 64)
+    init_log_std: float = 0.0
+    min_log_std: float = -3.0
+    # baseline
+    baseline: str = "quadratic"
+    baseline_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # sampling
+    num_traj: int = 64
+    num_samples: Optional[int] = None
+    sample_mode: str = "trajectories"
+    horizon: Optional[int] = None
+    # algorithm hyperparameters (reference names)
+    gamma: float = 0.995
+    gae_lambda: Optional[float] = 0.97
+    agent_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # harness
+    save_freq: int = 10
+    evaluation_rollouts: int = 0
+    plot_keys: Tuple[str, ...] = ("stoc_pol_mean", "running_score")
+
+    def to_json(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2, default=list)
+
+    @classmethod
+    def from_json(cls, path: str) -> "RunConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "RunConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - fields
+        if unknown:
+            raise ValueError(f"Unknown config keys: {sorted(unknown)}")
+        cfg = cls(**raw)
+        for name in ("hidden_sizes", "plot_keys"):
+            setattr(cfg, name, tuple(getattr(cfg, name)))
+        return cfg
+
+
+def build(cfg: RunConfig):
+    """Construct (env, policy, baseline, agent) from a config."""
+    env = envs.make(cfg.env_name, **cfg.env_kwargs)
+    pol_cls = POLICIES[cfg.policy]
+    pol_kwargs: Dict[str, Any] = dict(
+        min_log_std=cfg.min_log_std, init_log_std=cfg.init_log_std
+    )
+    if cfg.policy == "mlp":
+        pol_kwargs["hidden_sizes"] = cfg.hidden_sizes
+    policy = pol_cls(env.spec, **pol_kwargs)
+    baseline = BASELINES[cfg.baseline](env.spec, **cfg.baseline_kwargs)
+    agent = ALGOS[cfg.algorithm](
+        env,
+        policy,
+        baseline,
+        num_traj=cfg.num_traj,
+        num_samples=cfg.num_samples,
+        sample_mode=cfg.sample_mode,
+        horizon=cfg.horizon,
+        gamma=cfg.gamma,
+        gae_lambda=cfg.gae_lambda,
+        **cfg.agent_kwargs,
+    )
+    return env, policy, baseline, agent

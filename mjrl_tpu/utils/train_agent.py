@@ -1,0 +1,126 @@
+"""The training harness: host loop around the fused device train step.
+
+Capability twin of the reference's ``train_agent`` (reference:
+mjrl/utils/train_agent.py): per-iteration ``agent.train_step`` -> optional
+deterministic evaluation rollouts -> best-policy tracking -> periodic
+checkpoint + ``log.csv`` + ``train_curves.png`` -> tabulate table print, with
+resume from the latest checkpoint.
+
+Because the whole iteration is one jitted program, the host's only jobs are
+feeding PRNG keys, reading back metric scalars (one device->host transfer
+per iteration), logging, and checkpointing. Wall-clock accounting brackets
+``block_until_ready`` so ``steps_per_sec`` (env-steps/s, the north-star
+metric) is honest; the reference's per-phase timers (``time_sampling`` etc.)
+collapse into ``time_step`` since the phases are fused. Set
+``profile_dir`` to capture a ``jax.profiler`` trace of a few iterations
+(SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from mjrl_tpu.algos.base import BatchREINFORCE
+from mjrl_tpu.samplers.rollout import rollout_statistics
+from mjrl_tpu.utils.checkpoint import CheckpointManager
+from mjrl_tpu.utils.logger import DataLog
+from mjrl_tpu.utils.plots import make_train_plots
+
+try:
+    from tabulate import tabulate
+except ImportError:  # pragma: no cover
+    tabulate = None
+
+
+def train_agent(
+    job_name: str,
+    agent: BatchREINFORCE,
+    seed: int = 0,
+    niter: int = 101,
+    save_freq: int = 10,
+    evaluation_rollouts: int = 0,
+    plot_keys: Sequence[str] = ("stoc_pol_mean",),
+    resume: bool = True,
+    print_table: bool = True,
+    profile_dir: Optional[str] = None,
+    profile_iters: int = 3,
+) -> None:
+    os.makedirs(job_name, exist_ok=True)
+    logdir = os.path.join(job_name, "logs")
+    logger = DataLog(logdir)
+    ckpt = CheckpointManager(job_name)
+
+    state = agent.init(jax.random.PRNGKey(seed))
+    start_iter = 0
+    if resume:
+        restored = ckpt.restore_latest(jax.device_get(state))
+        if restored is not None:
+            state = restored
+            start_iter = int(state.iteration)
+            print(f"Resuming {job_name} from iteration {start_iter}")
+
+    train_step = agent.jitted_train_step
+    eval_fn = None
+    if evaluation_rollouts > 0:
+        def _eval(state, key):
+            batch = agent.sample_batch(state, key, eval_mode=True)
+            return rollout_statistics(batch)
+
+        eval_fn = jax.jit(_eval)
+
+    best_perf = -np.inf
+    base_key = jax.random.PRNGKey(seed)
+
+    for i in range(start_iter, niter):
+        if profile_dir is not None and i == start_iter + 1:
+            jax.profiler.start_trace(profile_dir)
+        t0 = time.time()
+        key = jax.random.fold_in(base_key, i)
+        state, metrics = train_step(state, key)
+        metrics = jax.block_until_ready(metrics)
+        t_step = time.time() - t0
+        if profile_dir is not None and i == start_iter + 1 + profile_iters:
+            jax.profiler.stop_trace()
+
+        row = {k: float(v) for k, v in metrics.items()}
+        row["iteration"] = i
+        row["time_step"] = t_step
+        row["steps_per_sec"] = row.get("num_samples", 0.0) / max(t_step, 1e-9)
+
+        if eval_fn is not None:
+            stats = jax.block_until_ready(
+                eval_fn(state, jax.random.fold_in(base_key, 10_000_000 + i))
+            )
+            row["eval_score"] = float(stats.mean)
+
+        logger.log_dict(row)
+
+        perf = row.get("eval_score", row["running_score"])
+        if perf > best_perf:
+            best_perf = perf
+            ckpt.save_best(state)
+
+        if i % save_freq == 0 or i == niter - 1:
+            ckpt.save(i + 1, state)
+            logger.save_log(logdir)
+            make_train_plots(log=logger, keys=plot_keys, save_loc=logdir)
+
+        if print_table:
+            items = sorted(row.items())
+            if tabulate is not None:
+                print(tabulate(items, headers=[f"iter {i}", "value"],
+                               tablefmt="simple", floatfmt=".4f"))
+            else:
+                print(f"iter {i}: " + " ".join(f"{k}={v:.4f}" for k, v in items))
+
+    ckpt.wait()
+    logger.save_log(logdir)
+    make_train_plots(log=logger, keys=plot_keys, save_loc=logdir)
+    logger.close()
+    ckpt.close()
+    return state

@@ -1,0 +1,133 @@
+"""Multi-device SPMD tests on the forced 8-device CPU mesh (SURVEY.md §4d).
+
+Host-count invariance: the sharded program must produce the same numbers as
+the single-device program — sampling derives per-env keys from one base key,
+and all reductions are full-batch means, so device count cannot change math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mjrl_tpu import envs
+from mjrl_tpu.algos import NPG, PPO
+from mjrl_tpu.models import GaussianMLP, QuadraticBaseline
+from mjrl_tpu.ops.ravel import ravel_pytree
+from mjrl_tpu.parallel import make_mesh, shard_env_pytree
+
+
+def _agent(mesh=None, algo=NPG, **kw):
+    env = envs.make("point_mass", horizon=10)
+    pol = GaussianMLP(env.spec, hidden_sizes=(16, 16))
+    bl = QuadraticBaseline(env.spec)
+    defaults = dict(num_traj=16, horizon=10, mesh=mesh)
+    defaults.update(kw)
+    return algo(env, pol, bl, **defaults)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_step_runs_and_is_sharded():
+    mesh = make_mesh(8)
+    agent = _agent(mesh)
+    state = agent.init(jax.random.PRNGKey(0))
+    step = jax.jit(agent.train_step)
+    state2, metrics = jax.block_until_ready(step(state, jax.random.PRNGKey(1)))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    # params remain replicated across the mesh
+    leaf = state2.params["mlp"][0]["w"]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_device_count_invariance():
+    """1-device vs 8-device mesh from the same seed (SURVEY §5.8).
+
+    Guarantees by construction: (a) the sampled batch matches to 1 ulp
+    (partitionable threefry makes the random draws layout-invariant; the
+    policy-forward tanh/exp may differ in the last bit under per-device
+    codegen); (b) the VPG gradient matches to f32 reduction-order noise;
+    (c) the full NPG step matches within a small tolerance — CG amplifies
+    last-ulp partial-sum differences through F^-1, so bitwise equality
+    across *device counts* is not a design goal (all devices within one
+    program do run identical CG trajectories on the replicated flat vector).
+    """
+    agent1 = _agent(mesh=None)
+    agent8 = _agent(mesh=make_mesh(8))
+    s1 = agent1.init(jax.random.PRNGKey(0))
+    s8 = agent8.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(100)
+
+    # (a) layout-invariant sampling (1-ulp tolerance)
+    b1 = jax.jit(agent1.sample_batch)(s1, key)
+    b8 = jax.jit(agent8.sample_batch)(s8, key)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(b1.actions)),
+        np.asarray(jax.device_get(b8.actions)),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(b1.rewards)),
+        np.asarray(jax.device_get(b8.rewards)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # (b) VPG gradient equal to reduction-order noise
+    p1 = jax.jit(agent1.process_batch)(s1, b1)
+    p8 = jax.jit(agent8.process_batch)(s8, b8)
+    g1, _ = ravel_pytree(jax.device_get(agent1.vpg_grad(s1.params, s1.transforms, p1)))
+    g8, _ = ravel_pytree(jax.device_get(agent8.vpg_grad(s8.params, s8.transforms, p8)))
+    scale = np.abs(np.asarray(g1)).max()
+    np.testing.assert_allclose(
+        np.asarray(g1) / scale, np.asarray(g8) / scale, atol=1e-5
+    )
+
+    # (c) full train step within tolerance
+    s1n, m1 = jax.jit(agent1.train_step)(s1, key)
+    s8n, m8 = jax.jit(agent8.train_step)(s8, key)
+    np.testing.assert_allclose(
+        float(m1["stoc_pol_mean"]), float(m8["stoc_pol_mean"]), rtol=1e-5
+    )
+    f1, _ = ravel_pytree(jax.device_get(s1n.params))
+    f8, _ = ravel_pytree(jax.device_get(s8n.params))
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f8), rtol=0.2, atol=0.15)
+
+
+def test_ppo_sharded_step():
+    mesh = make_mesh(8)
+    agent = _agent(mesh, algo=PPO, epochs=2, mb_size=32)
+    state = agent.init(jax.random.PRNGKey(0))
+    state, metrics = jax.block_until_ready(
+        jax.jit(agent.train_step)(state, jax.random.PRNGKey(1))
+    )
+    assert np.isfinite(float(metrics["surr_improvement"]))
+
+
+def test_shard_env_pytree_layout():
+    mesh = make_mesh(8)
+    x = {"a": jnp.zeros((16, 4)), "b": jnp.zeros((16,))}
+
+    @jax.jit
+    def f(x):
+        return shard_env_pytree(x, mesh)
+
+    out = f(x)
+    assert "env" in str(out["a"].sharding.spec)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    mean, log_std = jax.block_until_ready(out)
+    assert mean.shape == (4096, 2)
