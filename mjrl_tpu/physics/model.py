@@ -1,0 +1,341 @@
+"""Physics model description: kinematic tree, inertia, geoms, actuators.
+
+The engine-side replacement for mjModel (the reference reaches MuJoCo's C
+engine through mujoco_py — SURVEY.md §2.2; here the model is plain data and
+the stepper is pure JAX). A ``Model`` is built either programmatically
+(:class:`ModelBuilder`) or from an MJCF subset (physics/mjcf.py) and holds:
+
+- the EXPANDED kinematic tree: MuJoCo allows several joints per body
+  (e.g. the planar locomotion root: slide-x, slide-z, hinge-y); the builder
+  expands each such body into a chain of internal "links", one joint each,
+  with all inertia/geoms on the last link. Featherstone propagation then
+  needs exactly one joint transform per link. Massless intermediate links
+  are harmless because every real body carries mass below them.
+- per-link static metadata (parent index, joint type, q/v addresses) as
+  Python tuples — loop structure is unrolled at trace time (n_links <= ~30
+  for humanoid), while all numeric fields are arrays so one compiled step
+  serves every env instance via ``vmap``.
+
+Conventions: quaternions (w, x, y, z); joint axes/anchors constant in the
+CHILD link frame (Featherstone's requirement, matches MJCF semantics);
+free-joint qpos ``[p(3), quat(4)]``, qvel ``[omega_body(3), v_body(3)]``
+(note MuJoCo stores free-joint linear velocity in world frame and angular
+first=linear first — the oracle tests map conventions explicitly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# Joint types
+FREE, BALL, HINGE, SLIDE = 0, 1, 2, 3
+JOINT_NQ = {FREE: 7, BALL: 4, HINGE: 1, SLIDE: 1}
+JOINT_NV = {FREE: 6, BALL: 3, HINGE: 1, SLIDE: 1}
+
+# Geom types
+PLANE, SPHERE, CAPSULE, BOX, CYLINDER = 0, 1, 2, 3, 4
+
+
+@dataclasses.dataclass
+class Model:
+    """Immutable physics model. Numeric fields are numpy f32 arrays that jit
+    treats as constants; structural fields are Python ints/tuples."""
+
+    # --- tree structure (static) ---
+    nlink: int
+    nq: int
+    nv: int
+    nu: int
+    ngeom: int
+    link_parent: Tuple[int, ...]  # -1 = world
+    link_jnt_type: Tuple[int, ...]
+    link_qadr: Tuple[int, ...]
+    link_vadr: Tuple[int, ...]
+    # --- link frames & joints (numeric) ---
+    link_pos: np.ndarray  # (nlink, 3) fixed offset from parent link frame
+    link_quat: np.ndarray  # (nlink, 4)
+    jnt_axis: np.ndarray  # (nlink, 3) in child frame
+    jnt_anchor: np.ndarray  # (nlink, 3) in child frame
+    jnt_range: np.ndarray  # (nlink, 2)
+    jnt_limited: np.ndarray  # (nlink,) 0/1
+    jnt_stiffness: np.ndarray  # (nlink,)
+    jnt_springref: np.ndarray  # (nlink,)
+    # --- per-dof (numeric) ---
+    dof_damping: np.ndarray  # (nv,)
+    dof_armature: np.ndarray  # (nv,)
+    # --- inertia (numeric, per link, about link frame) ---
+    link_mass: np.ndarray  # (nlink,)
+    link_com: np.ndarray  # (nlink, 3)
+    link_inertia_com: np.ndarray  # (nlink, 3, 3) about com, link frame
+    # --- actuators (numeric) ---
+    act_vadr: np.ndarray  # (nu,) target dof address
+    act_gear: np.ndarray  # (nu,)
+    act_ctrlrange: np.ndarray  # (nu, 2)
+    act_ctrllimited: np.ndarray  # (nu,)
+    # --- geoms (numeric + static type/body) ---
+    geom_link: Tuple[int, ...]  # -1 = world/static
+    geom_type: Tuple[int, ...]
+    geom_size: np.ndarray  # (ngeom, 3)
+    geom_pos: np.ndarray  # (ngeom, 3) in link frame
+    geom_quat: np.ndarray  # (ngeom, 4)
+    geom_friction: np.ndarray  # (ngeom,) sliding friction coef
+    # --- contact pairs (static list of geom index pairs) ---
+    contact_pairs: Tuple[Tuple[int, int], ...]
+    # --- options ---
+    dt: float = 0.002
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
+    # contact penalty parameters (engine-specific; see physics/contact.py)
+    contact_stiffness: float = 10_000.0
+    contact_damping: float = 100.0
+    friction_vel: float = 0.1
+    limit_stiffness: float = 500.0
+    limit_damping: float = 10.0
+    # name maps for introspection / env reward code
+    link_name: Tuple[str, ...] = ()
+    qpos0: Optional[np.ndarray] = None  # reference configuration
+
+    @property
+    def default_qpos(self) -> np.ndarray:
+        if self.qpos0 is not None:
+            return self.qpos0
+        q = np.zeros(self.nq, np.float32)
+        for i in range(self.nlink):
+            t = self.link_jnt_type[i]
+            if t in (FREE, BALL):
+                q[self.link_qadr[i] + (3 if t == FREE else 0)] = 1.0  # unit quat
+        return q
+
+
+class ModelBuilder:
+    """Programmatic model construction (the MJCF loader drives this too)."""
+
+    def __init__(
+        self,
+        dt: float = 0.002,
+        gravity: Sequence[float] = (0.0, 0.0, -9.81),
+    ):
+        self.dt = dt
+        self.gravity = tuple(gravity)
+        self._links: List[Dict] = []
+        self._geoms: List[Dict] = []
+        self._acts: List[Dict] = []
+        self._name_to_link: Dict[str, int] = {}
+        self._qpos0: List[float] = []
+        self.options: Dict[str, float] = {}
+
+    # -- bodies --------------------------------------------------------------
+    def add_body(
+        self,
+        name: str,
+        parent: Optional[str] = None,
+        pos=(0, 0, 0),
+        quat=(1, 0, 0, 0),
+        joints: Sequence[Dict] = (),
+        mass: float = 0.0,
+        com=(0, 0, 0),
+        inertia_com=None,
+    ) -> str:
+        """Add a body with 0+ joints; expands to one link per joint (or a
+        jointless fixed link)."""
+        parent_idx = -1 if parent is None else self._name_to_link[parent]
+        joints = list(joints)
+        if not joints:
+            joints = [dict(type=None)]
+        for k, j in enumerate(joints):
+            last = k == len(joints) - 1
+            link = dict(
+                parent=parent_idx,
+                pos=np.asarray(pos if k == 0 else (0, 0, 0), np.float32),
+                quat=np.asarray(quat if k == 0 else (1, 0, 0, 0), np.float32),
+                jnt_type=j.get("type"),
+                jnt_axis=np.asarray(j.get("axis", (0, 0, 1)), np.float32),
+                jnt_anchor=np.asarray(j.get("pos", (0, 0, 0)), np.float32),
+                jnt_range=np.asarray(j.get("range", (0, 0)), np.float32),
+                jnt_limited=float(j.get("limited", False)),
+                damping=float(j.get("damping", 0.0)),
+                armature=float(j.get("armature", 0.0)),
+                stiffness=float(j.get("stiffness", 0.0)),
+                springref=float(j.get("springref", 0.0)),
+                mass=float(mass) if last else 0.0,
+                com=np.asarray(com, np.float32) if last else np.zeros(3, np.float32),
+                inertia_com=(
+                    np.asarray(
+                        inertia_com if inertia_com is not None else np.zeros((3, 3)),
+                        np.float32,
+                    )
+                    if last
+                    else np.zeros((3, 3), np.float32)
+                ),
+                name=name if last else f"{name}__stage{k}",
+                ref=float(j.get("ref", 0.0)),
+            )
+            self._links.append(link)
+            parent_idx = len(self._links) - 1
+        self._name_to_link[name] = parent_idx
+        return name
+
+    # -- geoms ---------------------------------------------------------------
+    def add_geom(
+        self,
+        body: Optional[str],
+        gtype: int,
+        size=(0, 0, 0),
+        pos=(0, 0, 0),
+        quat=(1, 0, 0, 0),
+        friction: float = 1.0,
+    ) -> int:
+        self._geoms.append(
+            dict(
+                link=-1 if body is None else self._name_to_link[body],
+                type=gtype,
+                size=np.asarray(size, np.float32),
+                pos=np.asarray(pos, np.float32),
+                quat=np.asarray(quat, np.float32),
+                friction=float(friction),
+            )
+        )
+        return len(self._geoms) - 1
+
+    # -- actuators -----------------------------------------------------------
+    def add_motor(
+        self, body: str, gear: float = 1.0, ctrlrange=None
+    ) -> None:
+        """Torque motor on the (single) joint dof of ``body``'s last link."""
+        link = self._name_to_link[body]
+        self._acts.append(
+            dict(
+                link=link,
+                gear=float(gear),
+                ctrlrange=np.asarray(
+                    ctrlrange if ctrlrange is not None else (0, 0), np.float32
+                ),
+                ctrllimited=float(ctrlrange is not None),
+            )
+        )
+
+    # -- finalize ------------------------------------------------------------
+    def finalize(self, contact_pairs: str = "ground") -> Model:
+        """``contact_pairs``: 'ground' pairs every non-plane geom with every
+        plane geom; 'all' also pairs movable geoms with each other (except
+        same-link and parent-child); 'none' disables contacts."""
+        n = len(self._links)
+        qadr, vadr = [], []
+        nq = nv = 0
+        jnt_types = []
+        for l in self._links:
+            t = l["jnt_type"]
+            qadr.append(nq)
+            vadr.append(nv)
+            if t is not None:
+                jnt_types.append(t)
+                nq += JOINT_NQ[t]
+                nv += JOINT_NV[t]
+            else:
+                jnt_types.append(-1)
+
+        dof_damping = np.zeros(nv, np.float32)
+        dof_armature = np.zeros(nv, np.float32)
+        qpos0 = np.zeros(nq, np.float32)
+        for i, l in enumerate(self._links):
+            t = l["jnt_type"]
+            if t is None:
+                continue
+            d = JOINT_NV[t]
+            dof_damping[vadr[i] : vadr[i] + d] = l["damping"]
+            dof_armature[vadr[i] : vadr[i] + d] = l["armature"]
+            if t == FREE:
+                qpos0[qadr[i] + 3] = 1.0
+            elif t == BALL:
+                qpos0[qadr[i]] = 1.0
+            else:
+                qpos0[qadr[i]] = l["ref"]
+
+        acts = self._acts
+        act_vadr = np.asarray([vadr[a["link"]] for a in acts], np.int32)
+
+        geoms = self._geoms
+        pairs: List[Tuple[int, int]] = []
+        if contact_pairs != "none":
+            for i, gi in enumerate(geoms):
+                for j, gj in enumerate(geoms):
+                    if j <= i:
+                        continue
+                    static_i = gi["type"] == PLANE or gi["link"] < 0
+                    static_j = gj["type"] == PLANE or gj["link"] < 0
+                    if static_i and static_j:
+                        continue
+                    if gi["link"] == gj["link"]:
+                        continue
+                    if contact_pairs == "ground" and not (static_i or static_j):
+                        continue
+                    li, lj = gi["link"], gj["link"]
+                    if li >= 0 and lj >= 0:
+                        # skip parent-child adjacent links (MuJoCo default)
+                        if self._links[lj]["parent"] == li or (
+                            self._links[li]["parent"] == lj
+                        ):
+                            continue
+                    # order: plane/static second
+                    pairs.append((j, i) if static_i else (i, j))
+
+        return Model(
+            nlink=n,
+            nq=nq,
+            nv=nv,
+            nu=len(acts),
+            ngeom=len(geoms),
+            link_parent=tuple(l["parent"] for l in self._links),
+            link_jnt_type=tuple(jnt_types),
+            link_qadr=tuple(qadr),
+            link_vadr=tuple(vadr),
+            link_pos=np.stack([l["pos"] for l in self._links]) if n else np.zeros((0, 3), np.float32),
+            link_quat=np.stack([l["quat"] for l in self._links]) if n else np.zeros((0, 4), np.float32),
+            jnt_axis=np.stack([l["jnt_axis"] for l in self._links]),
+            jnt_anchor=np.stack([l["jnt_anchor"] for l in self._links]),
+            jnt_range=np.stack([l["jnt_range"] for l in self._links]),
+            jnt_limited=np.asarray([l["jnt_limited"] for l in self._links], np.float32),
+            jnt_stiffness=np.asarray([l["stiffness"] for l in self._links], np.float32),
+            jnt_springref=np.asarray([l["springref"] for l in self._links], np.float32),
+            dof_damping=dof_damping,
+            dof_armature=dof_armature,
+            link_mass=np.asarray([l["mass"] for l in self._links], np.float32),
+            link_com=np.stack([l["com"] for l in self._links]),
+            link_inertia_com=np.stack([l["inertia_com"] for l in self._links]),
+            act_vadr=act_vadr,
+            act_gear=np.asarray([a["gear"] for a in acts], np.float32),
+            act_ctrlrange=(
+                np.stack([a["ctrlrange"] for a in acts])
+                if acts
+                else np.zeros((0, 2), np.float32)
+            ),
+            act_ctrllimited=np.asarray(
+                [a["ctrllimited"] for a in acts], np.float32
+            ),
+            geom_link=tuple(g["link"] for g in geoms),
+            geom_type=tuple(g["type"] for g in geoms),
+            geom_size=(
+                np.stack([g["size"] for g in geoms])
+                if geoms
+                else np.zeros((0, 3), np.float32)
+            ),
+            geom_pos=(
+                np.stack([g["pos"] for g in geoms])
+                if geoms
+                else np.zeros((0, 3), np.float32)
+            ),
+            geom_quat=(
+                np.stack([g["quat"] for g in geoms])
+                if geoms
+                else np.zeros((0, 4), np.float32)
+            ),
+            geom_friction=np.asarray([g["friction"] for g in geoms], np.float32),
+            contact_pairs=tuple(pairs),
+            dt=self.dt,
+            gravity=self.gravity,
+            link_name=tuple(l["name"] for l in self._links),
+            qpos0=qpos0,
+            **{k: v for k, v in self.options.items()},
+        )
