@@ -162,7 +162,8 @@ def contact_forces(model: Model, kin: Kinematics) -> jax.Array:
     f_ext = jnp.zeros((model.nlink, 6))
     for gi, gj in model.contact_pairs:
         li, lj = model.geom_link[gi], model.geom_link[gj]
-        mu = 0.5 * (model.geom_friction[gi] + model.geom_friction[gj])
+        # MuJoCo combines pair friction by elementwise max
+        mu = max(float(model.geom_friction[gi]), float(model.geom_friction[gj]))
         for depth, n, point in _collide(model, kin, gi, gj):
             v_rel = _point_velocity(kin, li, point) - _point_velocity(
                 kin, lj, point

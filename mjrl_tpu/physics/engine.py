@@ -91,11 +91,17 @@ def _joint_pose(model: Model, i: int, q: jax.Array):
     if t == -1:
         return jnp.zeros(3), m3.quat_identity()
     if t == HINGE:
-        quat = m3.quat_from_axis_angle(jnp.asarray(model.jnt_axis[i]), q[adr])
+        # MuJoCo ref semantics: the joint displacement is (q - ref).
+        quat = m3.quat_from_axis_angle(
+            jnp.asarray(model.jnt_axis[i]), q[adr] - model.jnt_ref[i]
+        )
         pos = anchor - m3.quat_rotate(quat, anchor)
         return pos, quat
     if t == SLIDE:
-        return jnp.asarray(model.jnt_axis[i]) * q[adr], m3.quat_identity()
+        return (
+            jnp.asarray(model.jnt_axis[i]) * (q[adr] - model.jnt_ref[i]),
+            m3.quat_identity(),
+        )
     if t == BALL:
         quat = m3.quat_normalize(jax.lax.dynamic_slice(q, (adr,), (4,)))
         pos = anchor - m3.quat_rotate(quat, anchor)

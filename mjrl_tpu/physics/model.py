@@ -61,6 +61,7 @@ class Model:
     jnt_anchor: np.ndarray  # (nlink, 3) in child frame
     jnt_range: np.ndarray  # (nlink, 2)
     jnt_limited: np.ndarray  # (nlink,) 0/1
+    jnt_ref: np.ndarray  # (nlink,) reference pose: displacement = q - ref
     jnt_stiffness: np.ndarray  # (nlink,)
     jnt_springref: np.ndarray  # (nlink,)
     # --- per-dof (numeric) ---
@@ -204,7 +205,11 @@ class ModelBuilder:
         self, body: str, gear: float = 1.0, ctrlrange=None
     ) -> None:
         """Torque motor on the (single) joint dof of ``body``'s last link."""
-        link = self._name_to_link[body]
+        self.add_motor_link(self._name_to_link[body], gear, ctrlrange)
+
+    def add_motor_link(self, link: int, gear: float = 1.0, ctrlrange=None) -> None:
+        """Torque motor addressed by expanded-link index (MJCF loader path,
+        where actuators target joints by name)."""
         self._acts.append(
             dict(
                 link=link,
@@ -217,10 +222,16 @@ class ModelBuilder:
         )
 
     # -- finalize ------------------------------------------------------------
-    def finalize(self, contact_pairs: str = "ground") -> Model:
+    def finalize(
+        self,
+        contact_pairs: str = "ground",
+        explicit_pairs: Optional[Sequence[Tuple[int, int]]] = None,
+    ) -> Model:
         """``contact_pairs``: 'ground' pairs every non-plane geom with every
         plane geom; 'all' also pairs movable geoms with each other (except
-        same-link and parent-child); 'none' disables contacts."""
+        same-link and parent-child); 'none' disables contacts.
+        ``explicit_pairs`` overrides with a precomputed geom-pair list (the
+        MJCF loader computes MuJoCo's contype/conaffinity filtering)."""
         n = len(self._links)
         qadr, vadr = [], []
         nq = nv = 0
@@ -258,7 +269,9 @@ class ModelBuilder:
 
         geoms = self._geoms
         pairs: List[Tuple[int, int]] = []
-        if contact_pairs != "none":
+        if explicit_pairs is not None:
+            pairs = [tuple(p) for p in explicit_pairs]
+        elif contact_pairs != "none":
             for i, gi in enumerate(geoms):
                 for j, gj in enumerate(geoms):
                     if j <= i:
@@ -297,6 +310,7 @@ class ModelBuilder:
             jnt_anchor=np.stack([l["jnt_anchor"] for l in self._links]),
             jnt_range=np.stack([l["jnt_range"] for l in self._links]),
             jnt_limited=np.asarray([l["jnt_limited"] for l in self._links], np.float32),
+            jnt_ref=np.asarray([l["ref"] for l in self._links], np.float32),
             jnt_stiffness=np.asarray([l["stiffness"] for l in self._links], np.float32),
             jnt_springref=np.asarray([l["springref"] for l in self._links], np.float32),
             dof_damping=dof_damping,
