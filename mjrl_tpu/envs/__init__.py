@@ -6,3 +6,4 @@ Import side effects populate the registry; use ``envs.make(env_id)``.
 from mjrl_tpu.envs.base import Env, make, register, registered_envs  # noqa: F401
 import mjrl_tpu.envs.point_mass  # noqa: F401
 import mjrl_tpu.envs.classic  # noqa: F401
+import mjrl_tpu.envs.locomotion  # noqa: F401

@@ -1,0 +1,200 @@
+"""Gym-style locomotion envs on the first-party physics engine.
+
+The capability ladder of BASELINE.json (hopper -> walker2d/half_cheetah ->
+ant; swimmer for the fluid model): each env compiles the INSTALLED gymnasium
+MJCF asset through our loader (tests verify the compiled model matches CPU
+MuJoCo bit-for-bit on masses/kinematics/smooth dynamics), and reproduces the
+gymnasium v4 task conventions — observation layout, reward terms, healthy
+ranges/termination, reset noise, frame skip — which are the same tasks the
+reference trains on through old gym (reference: mjrl/utils/gym_env.py).
+
+Everything is a pure function: ``step`` unrolls ``frame_skip`` engine
+substeps at trace time, so a policy step compiles into one fused XLA program
+with the physics inside.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mjrl_tpu.envs.base import Env, StepResult, register
+from mjrl_tpu.physics import PhysicsState, joint_subspaces
+from mjrl_tpu.physics.engine import step as physics_step
+from mjrl_tpu.physics.mjcf import load_mjcf
+from mjrl_tpu.types import EnvSpec
+
+
+def _asset_path(name: str) -> str:
+    import gymnasium
+
+    return os.path.join(
+        os.path.dirname(gymnasium.__file__), "envs", "mujoco", "assets", name
+    )
+
+
+class LocomotionEnv(Env):
+    """Shared machinery for the planar + 3D locomotion tasks."""
+
+    asset: str
+    frame_skip: int
+    forward_reward_weight: float = 1.0
+    ctrl_cost_weight: float = 1e-3
+    healthy_reward: float = 0.0
+    reset_noise_scale: float = 5e-3
+    reset_vel_noise: str = "uniform"  # 'uniform' | 'normal'
+    exclude_positions: int = 1  # leading qpos entries dropped from obs
+    clip_qvel_obs: Optional[float] = 10.0
+    n_substeps: int = 1  # physics substeps per model dt (penalty stability)
+
+    def __init__(self, horizon: int = 1000, asset_path: Optional[str] = None):
+        self.model = load_mjcf(asset_path or _asset_path(self.asset))
+        self.model.n_substeps = self.n_substeps
+        # Auto-tune penalty contact params to the model's scale: full body
+        # weight on one contact compresses ~2mm; spring force saturates at
+        # depth_cap; near-critical damping vs a quarter of the body mass.
+        import numpy as _np
+
+        total_mass = float(self.model.link_mass.sum())
+        weight = total_mass * 9.81
+        self.model.contact_stiffness = weight / 0.002
+        self.model.contact_damping = 2.0 * float(
+            _np.sqrt(self.model.contact_stiffness * total_mass / 4.0)
+        )
+        self.model.contact_depth_cap = 0.02
+        self.subspaces = joint_subspaces(self.model)
+        obs_dim = (self.model.nq - self.exclude_positions) + self.model.nv
+        self.spec = EnvSpec(
+            observation_dim=obs_dim,
+            action_dim=self.model.nu,
+            horizon=horizon,
+        )
+
+    # -- gym-v4 conventions --------------------------------------------------
+    def _obs(self, ps: PhysicsState) -> jax.Array:
+        qvel = ps.qd
+        if self.clip_qvel_obs is not None:
+            qvel = jnp.clip(qvel, -self.clip_qvel_obs, self.clip_qvel_obs)
+        return jnp.concatenate([ps.q[self.exclude_positions :], qvel])
+
+    def _healthy(self, ps: PhysicsState) -> jax.Array:
+        return jnp.ones((), bool)
+
+    def _x_pos(self, ps: PhysicsState) -> jax.Array:
+        return ps.q[0]
+
+    def reset(self, key: jax.Array) -> Tuple[PhysicsState, jax.Array]:
+        kq, kv = jax.random.split(key)
+        s = self.reset_noise_scale
+        q = jnp.asarray(self.model.default_qpos) + jax.random.uniform(
+            kq, (self.model.nq,), minval=-s, maxval=s
+        )
+        if self.reset_vel_noise == "normal":
+            qd = s * jax.random.normal(kv, (self.model.nv,))
+        else:
+            qd = jax.random.uniform(kv, (self.model.nv,), minval=-s, maxval=s)
+        ps = PhysicsState(q=q, qd=qd)
+        return ps, self._obs(ps)
+
+    def step(self, ps: PhysicsState, action: jax.Array) -> StepResult:
+        x_before = self._x_pos(ps)
+        for _ in range(self.frame_skip):
+            ps = physics_step(self.model, ps, action, subspaces=self.subspaces)
+        x_after = self._x_pos(ps)
+        dt = self.model.dt * self.frame_skip
+        x_velocity = (x_after - x_before) / dt
+        ctrl_cost = self.ctrl_cost_weight * jnp.sum(jnp.square(action))
+        healthy = self._healthy(ps)
+        reward = (
+            self.forward_reward_weight * x_velocity
+            - ctrl_cost
+            + self.healthy_reward * healthy.astype(x_velocity.dtype)
+        )
+        terminated = jnp.logical_not(healthy)
+        info: Dict[str, jax.Array] = {"x_velocity": x_velocity}
+        return ps, self._obs(ps), reward, terminated, info
+
+
+class HopperEnv(LocomotionEnv):
+    """Hopper-v4 conventions (gymnasium/envs/mujoco/hopper_v4.py semantics)."""
+
+    asset = "hopper.xml"
+    frame_skip = 4
+    ctrl_cost_weight = 1e-3
+    healthy_reward = 1.0
+    reset_noise_scale = 5e-3
+
+    def _healthy(self, ps: PhysicsState) -> jax.Array:
+        state = jnp.concatenate([ps.q[2:], ps.qd])
+        healthy_state = jnp.all(jnp.abs(state) < 100.0)
+        healthy_z = ps.q[1] > 0.7
+        healthy_angle = jnp.abs(ps.q[2]) < 0.2
+        return healthy_state & healthy_z & healthy_angle
+
+
+class Walker2dEnv(LocomotionEnv):
+    """Walker2d-v4 conventions."""
+
+    asset = "walker2d.xml"
+    frame_skip = 4
+    ctrl_cost_weight = 1e-3
+    healthy_reward = 1.0
+    reset_noise_scale = 5e-3
+
+    def _healthy(self, ps: PhysicsState) -> jax.Array:
+        z, angle = ps.q[1], ps.q[2]
+        return (z > 0.8) & (z < 2.0) & (jnp.abs(angle) < 1.0)
+
+
+class HalfCheetahEnv(LocomotionEnv):
+    """HalfCheetah-v4 conventions (no termination, ctrl cost 0.1)."""
+
+    asset = "half_cheetah.xml"
+    frame_skip = 5
+    ctrl_cost_weight = 0.1
+    healthy_reward = 0.0
+    reset_noise_scale = 0.1
+    reset_vel_noise = "normal"
+    clip_qvel_obs = None
+    n_substeps = 2  # dt=0.01 with ~1kg limbs needs a finer contact substep
+
+
+class SwimmerEnv(LocomotionEnv):
+    """Swimmer-v4 conventions (fluid-driven, ctrl cost 1e-4)."""
+
+    asset = "swimmer.xml"
+    frame_skip = 4
+    ctrl_cost_weight = 1e-4
+    healthy_reward = 0.0
+    reset_noise_scale = 0.1
+    exclude_positions = 2
+    clip_qvel_obs = None
+
+
+class AntEnv(LocomotionEnv):
+    """Ant-v4 conventions (27-dim obs, no contact-force obs/cost)."""
+
+    asset = "ant.xml"
+    frame_skip = 5
+    ctrl_cost_weight = 0.5
+    healthy_reward = 1.0
+    reset_noise_scale = 0.1
+    reset_vel_noise = "normal"
+    exclude_positions = 2
+    clip_qvel_obs = None
+    n_substeps = 4  # dt=0.01 with 0.04kg limbs: penalty contacts need ~2.5ms
+
+    def _healthy(self, ps: PhysicsState) -> jax.Array:
+        z = ps.q[2]
+        finite = jnp.all(jnp.isfinite(ps.q)) & jnp.all(jnp.isfinite(ps.qd))
+        return finite & (z > 0.2) & (z < 1.0)
+
+
+register("hopper", HopperEnv)
+register("walker2d", Walker2dEnv)
+register("half_cheetah", HalfCheetahEnv)
+register("swimmer", SwimmerEnv)
+register("ant", AntEnv)

@@ -170,9 +170,14 @@ def contact_forces(model: Model, kin: Kinematics) -> jax.Array:
             )
             v_n = jnp.dot(v_rel, n)
             v_t = v_rel - v_n * n
+            # depth cap bounds the spring force after deep penetration
+            # (reset noise / landing impacts) so contacts can't catapult
+            # light bodies — the damping term still absorbs approach speed
+            depth_eff = jnp.minimum(depth, model.contact_depth_cap)
             fn = jnp.maximum(
                 0.0,
-                model.contact_stiffness * depth - model.contact_damping * v_n,
+                model.contact_stiffness * depth_eff
+                - model.contact_damping * v_n,
             )
             fn = jnp.where(depth > 0.0, fn, 0.0)
             ft = -mu * fn * v_t / (jnp.linalg.norm(v_t) + model.friction_vel)

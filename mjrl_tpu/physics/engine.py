@@ -299,9 +299,56 @@ def actuation(model: Model, ctrl: jax.Array) -> jax.Array:
     return tau.at[jnp.asarray(model.act_vadr)].add(jnp.asarray(model.act_gear) * c)
 
 
-def integrate(model: Model, state: PhysicsState, qdd: jax.Array) -> PhysicsState:
+def fluid_forces(model: Model, kin: Kinematics) -> jax.Array:
+    """MuJoCo's legacy inertia-box fluid model (medium density/viscosity).
+
+    Per body, in its principal-inertia frame with equivalent box half-sizes
+    ``b`` (precomputed in the model), com velocity ``v`` and angular velocity
+    ``w`` (formulas verified numerically against MuJoCo 3.x qfrc_passive):
+
+        F_i   = -3 pi (2 mean(b)) mu v_i  -  2 rho b_j b_k |v_i| v_i
+        tau_i = -pi (2 mean(b))^3 mu w_i  -  0.5 rho b_i (b_j^4+b_k^4)|w_i| w_i
+
+    Returns (nlink, 6) world wrenches about the world origin. This is what
+    makes the gym swimmer swim (its MJCF sets density=4000, viscosity=0.1).
+    """
+    f_ext = jnp.zeros((model.nlink, 6))
+    rho, mu = model.density, model.viscosity
+    if rho == 0.0 and mu == 0.0:
+        return f_ext
+    for i in range(model.nlink):
+        if model.link_mass[i] <= 0:
+            continue
+        R_wl = m3.quat_to_mat(kin.quat[i])
+        R_lp = m3.quat_to_mat(jnp.asarray(model.link_iquat[i]))
+        R_wp = R_wl @ R_lp
+        com_w = kin.pos[i] + R_wl @ jnp.asarray(model.link_com[i])
+        omega_w = R_wl @ kin.v[i][:3]
+        v_com_w = R_wl @ kin.v[i][3:] + jnp.cross(omega_w, com_w - kin.pos[i])
+        w_p = R_wp.T @ omega_w
+        v_p = R_wp.T @ v_com_w
+        b = jnp.asarray(model.link_ibox[i])
+        b_j = b[jnp.array([1, 2, 0])]
+        b_k = b[jnp.array([2, 0, 1])]
+        d_eq = 2.0 * jnp.mean(b)
+        force = -3.0 * jnp.pi * d_eq * mu * v_p - 2.0 * rho * b_j * b_k * jnp.abs(
+            v_p
+        ) * v_p
+        torque = -jnp.pi * d_eq**3 * mu * w_p - 0.5 * rho * b * (
+            b_j**4 + b_k**4
+        ) * jnp.abs(w_p) * w_p
+        f_w = R_wp @ force
+        t_w = R_wp @ torque
+        wrench = jnp.concatenate([jnp.cross(com_w, f_w) + t_w, f_w])
+        f_ext = f_ext.at[i].add(wrench)
+    return f_ext
+
+
+def integrate(
+    model: Model, state: PhysicsState, qdd: jax.Array, dt: Optional[float] = None
+) -> PhysicsState:
     """Semi-implicit Euler with quaternion exponential-map updates."""
-    dt = model.dt
+    dt = model.dt if dt is None else dt
     qd = state.qd + dt * qdd
     q = state.q
     for i in range(model.nlink):
@@ -334,17 +381,19 @@ def forward_dynamics(
     f_ext_world: Optional[jax.Array] = None,
     subspaces=None,
     kin: Optional[Kinematics] = None,
+    dt: Optional[float] = None,
 ) -> jax.Array:
     """qdd from the full pipeline (no integration)."""
     subspaces = subspaces or joint_subspaces(model)
     kin = kin or compute_kinematics(model, state, subspaces)
+    dt = model.dt if dt is None else dt
     M = crba(model, kin, subspaces)
     C = rnea_bias(model, kin, subspaces, f_ext_world)
     tau = actuation(model, ctrl) + passive_forces(model, state)
     damping = jnp.asarray(model.dof_damping)
     armature = jnp.asarray(model.dof_armature)
     rhs = tau - C - damping * state.qd
-    A = M + jnp.diag(armature + model.dt * damping)
+    A = M + jnp.diag(armature + dt * damping)
     chol = jax.scipy.linalg.cho_factor(A)
     return jax.scipy.linalg.cho_solve(chol, rhs)
 
@@ -356,15 +405,24 @@ def step(
     f_ext_world: Optional[jax.Array] = None,
     subspaces=None,
 ) -> PhysicsState:
-    """One dt of the full pipeline. Contacts are injected by the caller
-    (physics/contact.py computes ``f_ext_world`` from the same kinematics)."""
+    """One dt of the full pipeline (``model.n_substeps`` internal substeps).
+    Pass ``f_ext_world`` to override the computed contact+fluid forces."""
     subspaces = subspaces or joint_subspaces(model)
-    kin = compute_kinematics(model, state, subspaces)
-    if f_ext_world is None and model.contact_pairs:
-        from mjrl_tpu.physics.contact import contact_forces
+    n = model.n_substeps
+    dt = model.dt / n
+    for _ in range(n):
+        kin = compute_kinematics(model, state, subspaces)
+        f_ext = f_ext_world
+        if f_ext is None:
+            if model.contact_pairs:
+                from mjrl_tpu.physics.contact import contact_forces
 
-        f_ext_world = contact_forces(model, kin)
-    qdd = forward_dynamics(
-        model, state, ctrl, f_ext_world, subspaces=subspaces, kin=kin
-    )
-    return integrate(model, state, qdd)
+                f_ext = contact_forces(model, kin)
+            if model.density != 0.0 or model.viscosity != 0.0:
+                fluid = fluid_forces(model, kin)
+                f_ext = fluid if f_ext is None else f_ext + fluid
+        qdd = forward_dynamics(
+            model, state, ctrl, f_ext, subspaces=subspaces, kin=kin, dt=dt
+        )
+        state = integrate(model, state, qdd, dt=dt)
+    return state

@@ -236,6 +236,9 @@ def load_mjcf(source: str) -> Model:
     defaults = _Defaults.parse(root.find("default"))
 
     b = ModelBuilder(dt=dt, gravity=gravity)
+    if option is not None:
+        b.options["density"] = float(option.get("density", "0"))
+        b.options["viscosity"] = float(option.get("viscosity", "0"))
 
     joint_name_to_link: Dict[str, int] = {}
     body_parent_name: Dict[str, Optional[str]] = {}

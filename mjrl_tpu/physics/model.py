@@ -30,6 +30,26 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+def _mat_to_quat(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix (columns = frame axes) -> quaternion (w, x, y, z)."""
+    t = np.trace(R)
+    if t > 0:
+        s = 0.5 / np.sqrt(t + 1.0)
+        return np.array(
+            [0.25 / s, (R[2, 1] - R[1, 2]) * s, (R[0, 2] - R[2, 0]) * s,
+             (R[1, 0] - R[0, 1]) * s]
+        )
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = 2.0 * np.sqrt(max(1e-12, 1.0 + R[i, i] - R[j, j] - R[k, k]))
+    q = np.zeros(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
 # Joint types
 FREE, BALL, HINGE, SLIDE = 0, 1, 2, 3
 JOINT_NQ = {FREE: 7, BALL: 4, HINGE: 1, SLIDE: 1}
@@ -85,12 +105,22 @@ class Model:
     geom_friction: np.ndarray  # (ngeom,) sliding friction coef
     # --- contact pairs (static list of geom index pairs) ---
     contact_pairs: Tuple[Tuple[int, int], ...]
+    # --- fluid model (precomputed equivalent inertia boxes) ---
+    link_ibox: Optional[np.ndarray] = None  # (nlink, 3) half-sizes
+    link_iquat: Optional[np.ndarray] = None  # (nlink, 4) link->principal
     # --- options ---
     dt: float = 0.002
+    # physics substeps per dt — penalty contacts need dt_sub small enough
+    # that sqrt(k/m_min) < 2/dt_sub for the lightest contacting link
+    # (envs with coarse timesteps + light limbs, e.g. ant, set this > 1)
+    n_substeps: int = 1
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
+    density: float = 0.0  # medium density (fluid drag); MuJoCo <option density>
+    viscosity: float = 0.0  # medium viscosity; MuJoCo <option viscosity>
     # contact penalty parameters (engine-specific; see physics/contact.py)
     contact_stiffness: float = 10_000.0
     contact_damping: float = 100.0
+    contact_depth_cap: float = 0.02  # clamp spring term: k * min(depth, cap)
     friction_vel: float = 0.1
     limit_stiffness: float = 500.0
     limit_damping: float = 10.0
@@ -294,6 +324,35 @@ class ModelBuilder:
                     # order: plane/static second
                     pairs.append((j, i) if static_i else (i, j))
 
+        # Equivalent inertia boxes + principal frames (for the fluid model):
+        # half-size b_i = 0.5*sqrt(6*(I_j + I_k - I_i)/m) in the principal
+        # inertia frame (verified numerically against MuJoCo).
+        link_ibox = np.zeros((n, 3), np.float32)
+        link_iquat = np.zeros((n, 4), np.float32)
+        link_iquat[:, 0] = 1.0
+        for i, l in enumerate(self._links):
+            m = l["mass"]
+            if m <= 0:
+                continue
+            icom = np.asarray(l["inertia_com"], np.float64)
+            # Scrub f32 noise so degenerate eigenspaces (e.g. axis-aligned
+            # capsules) don't get arbitrarily rotated axes — the per-axis
+            # |v_i| v_i quadratic drag is NOT invariant under such rotations,
+            # and MuJoCo's principal frame stays geom-aligned here.
+            scale = max(np.abs(icom).max(), 1e-12)
+            icom = np.where(np.abs(icom) < 1e-5 * scale, 0.0, icom)
+            icom = 0.5 * (icom + icom.T)
+            w, V = np.linalg.eigh(icom)
+            snapped = np.where(np.abs(V) < 1e-6, 0.0, np.where(V > 1 - 1e-6, 1.0, V))
+            snapped = np.where(snapped < -1 + 1e-6, -1.0, snapped)
+            if np.allclose(snapped @ snapped.T, np.eye(3), atol=1e-6):
+                V = snapped
+            if np.linalg.det(V) < 0:
+                V[:, 0] = -V[:, 0]
+            eye = w[[1, 2, 0]] + w[[2, 0, 1]] - w
+            link_ibox[i] = 0.5 * np.sqrt(np.maximum(eye, 1e-12) * 6.0 / m)
+            link_iquat[i] = _mat_to_quat(V)
+
         return Model(
             nlink=n,
             nq=nq,
@@ -347,6 +406,8 @@ class ModelBuilder:
             ),
             geom_friction=np.asarray([g["friction"] for g in geoms], np.float32),
             contact_pairs=tuple(pairs),
+            link_ibox=link_ibox,
+            link_iquat=link_iquat,
             dt=self.dt,
             gravity=self.gravity,
             link_name=tuple(l["name"] for l in self._links),
