@@ -1,4 +1,4 @@
-"""The rigid-body pipeline: kinematics -> CRBA/RNEA -> integrate.
+"""The rigid-body pipeline: kinematics -> CRB/RNE -> integrate, TPU-first.
 
 First-party MJX-style dynamics replacing the reference's `env.step ->
 mujoco_py sim.step()` C boundary (SURVEY.md §3.1 HOT LOOP #1): one pure
@@ -6,23 +6,33 @@ function ``step(model, state, ctrl)`` advances a single env; callers ``vmap``
 it over thousands of env instances and ``lax.scan`` it over time, so the
 whole rollout compiles into one XLA program on the TPU.
 
-Algorithms (Featherstone, RBDA):
-- forward kinematics over the expanded link tree (Python loop over <=~30
-  links, unrolled at trace time; all math batched over envs by vmap),
-- CRBA for the joint-space mass matrix M(q) (+ armature on the diagonal),
-- RNEA with zero acceleration for the bias forces C(q, qd) (gravity enters
-  through the world base acceleration trick), with world-frame external
-  (contact) forces folded into the backward pass,
-- forward dynamics by batched Cholesky solve of ``(M + dt*D) qdd = tau -
-  C - D qd`` — the same implicit-joint-damping Euler MuJoCo's default
-  integrator uses, which keeps the high-damping Adroit/locomotion models
-  stable at f32,
-- semi-implicit Euler position update with quaternion exponential-map
-  integration for ball/free joints.
+TPU-native formulation (the key design decision): instead of Featherstone's
+per-link recursions — which trace into O(nlink^2) tiny transform ops that a
+TPU executes at launch-overhead speed — everything after forward kinematics
+is expressed in ONE common world-aligned frame with dense masked matmuls,
+the same restructuring MuJoCo itself uses for its CRB sparsity and MJX uses
+on XLA:
 
-The per-env mass matrix is small (nv <= ~25); its Cholesky batches over the
-env axis, which is exactly the batched-small-matrix pattern the Pallas
-optimization pass targets later (SURVEY.md §7.2 step 9).
+- ``cdof (nv, 6)``: every dof's motion subspace in the world frame, taken
+  about a per-env reference origin (the root link position — using a moving
+  reference keeps f32 moment arms small as the robot walks away from the
+  world origin);
+- link spatial velocities ``cvel = L @ (cdof * qd)`` where ``L`` is the
+  STATIC (nlink, nv) ancestor mask — one matmul instead of a tree walk;
+- composite rigid-body inertias via the static descendant mask (segment
+  sums over stacked (mass, m*com, I) arrays);
+- the mass matrix as ``sym(mask ⊙ (cdof @ (I_crb · cdof)^T))`` — a dense
+  (nv, 6) x (6, nv) contraction that tiles onto the MXU;
+- bias forces via ``C = Σ_l L[l, :] * (f_link · cdof)`` — again one
+  contraction, with gravity entering through the base acceleration trick
+  and world-frame external (contact/fluid) wrenches summed in directly.
+
+Only forward kinematics and ``cdof`` construction walk the tree in Python
+(unrolled at trace time, O(nlink) small ops); the O(n^2) work is dense.
+Forward dynamics solves ``(M + diag(armature) + dt D) qdd = tau - C - D qd``
+by batched Cholesky — the same implicit-joint-damping Euler MuJoCo's default
+integrator uses — then integrates semi-implicitly with exponential-map
+quaternion updates for ball/free joints.
 """
 
 from __future__ import annotations
@@ -43,34 +53,107 @@ class PhysicsState(NamedTuple):
 
 
 class Kinematics(NamedTuple):
-    """World poses + link-frame spatial quantities, one env."""
+    """World poses + world-frame spatial quantities, one env.
 
-    pos: jax.Array  # (nlink, 3) world position of link frames
-    quat: jax.Array  # (nlink, 4) world orientation
-    x_up: Tuple[m3.SpatialTransform, ...]  # parent->child motion transforms
-    v: jax.Array  # (nlink, 6) link spatial velocity, child coords
+    All spatial vectors are about ``origin`` (root link position): motion
+    ``[omega; v_of_point_at_origin]``, force ``[torque_about_origin; f]``.
+    """
+
+    pos: jax.Array  # (nlink, 3) world positions of link frames
+    quat: jax.Array  # (nlink, 4) world orientations
+    origin: jax.Array  # (3,) reference point for spatial quantities
+    cdof: jax.Array  # (nv, 6) world-frame dof motion subspaces
+    cvel: jax.Array  # (nlink, 6) world-frame link spatial velocities
+    qd: jax.Array  # (nv,) joint velocities (for the bias-force cacc term)
 
 
-def _joint_subspace(model: Model, i: int) -> Optional[np.ndarray]:
-    """Static (6, d) motion subspace S for link i's joint, child coords."""
-    t = model.link_jnt_type[i]
-    if t == -1:
-        return None
-    anchor = model.jnt_anchor[i]
-    if t == HINGE:
-        a = model.jnt_axis[i]
-        return np.concatenate([a, np.cross(anchor, a)]).reshape(6, 1)
-    if t == SLIDE:
-        a = model.jnt_axis[i]
-        return np.concatenate([np.zeros(3), a]).reshape(6, 1)
-    if t == BALL:
-        s = np.zeros((6, 3), np.float32)
-        s[:3] = np.eye(3)
-        s[3:] = _skew_np(anchor)
-        return s
-    if t == FREE:
-        return np.eye(6, dtype=np.float32)
-    raise ValueError(t)
+# ---------------------------------------------------------------------------
+# Static tree tables (cached on the model instance).
+# ---------------------------------------------------------------------------
+
+
+class TreeTables(NamedTuple):
+    dof_link: np.ndarray  # (nv,) link index of each dof
+    L_mask: np.ndarray  # (nlink, nv) dof j is ancestor-or-self of link l
+    dof_mask: np.ndarray  # (nv, nv) [i, j]: dof j is ancestor-or-self of dof i
+    hinge_slide_q: np.ndarray  # q addresses of 1-dof joints
+    hinge_slide_v: np.ndarray  # v addresses of 1-dof joints
+    hinge_slide_link: np.ndarray
+    limited_idx: np.ndarray  # subset of 1-dof joints with limits
+
+
+def tree_tables(model: Model) -> TreeTables:
+    cached = getattr(model, "_tables", None)
+    if cached is not None:
+        return cached
+    nv, nlink = model.nv, model.nlink
+    dof_link = np.zeros(nv, np.int32)
+    for i in range(nlink):
+        t = model.link_jnt_type[i]
+        if t == -1:
+            continue
+        d = {FREE: 6, BALL: 3, HINGE: 1, SLIDE: 1}[t]
+        dof_link[model.link_vadr[i] : model.link_vadr[i] + d] = i
+
+    # ancestor chains
+    L = np.zeros((nlink, nv), np.float32)
+    for l in range(nlink):
+        j = l
+        while j >= 0:
+            t = model.link_jnt_type[j]
+            if t != -1:
+                d = {FREE: 6, BALL: 3, HINGE: 1, SLIDE: 1}[t]
+                L[l, model.link_vadr[j] : model.link_vadr[j] + d] = 1.0
+            j = model.link_parent[j]
+    dof_mask = L[dof_link]  # (nv, nv)
+
+    hs_q, hs_v, hs_l = [], [], []
+    limited = []
+    for i in range(nlink):
+        if model.link_jnt_type[i] in (HINGE, SLIDE):
+            if model.jnt_limited[i] > 0:
+                limited.append(len(hs_q))
+            hs_q.append(model.link_qadr[i])
+            hs_v.append(model.link_vadr[i])
+            hs_l.append(i)
+    tables = TreeTables(
+        dof_link=dof_link,
+        L_mask=L,
+        dof_mask=dof_mask,
+        hinge_slide_q=np.asarray(hs_q, np.int32),
+        hinge_slide_v=np.asarray(hs_v, np.int32),
+        hinge_slide_link=np.asarray(hs_l, np.int32),
+        limited_idx=np.asarray(limited, np.int32),
+    )
+    model._tables = tables
+    return tables
+
+
+def joint_subspaces(model: Model):
+    """Static child-frame (6, d) subspaces; retained for oracle tests and
+    API compatibility (the hot path uses world-frame cdof instead)."""
+    out = []
+    for i in range(model.nlink):
+        t = model.link_jnt_type[i]
+        if t == -1:
+            out.append(None)
+            continue
+        anchor = model.jnt_anchor[i]
+        if t == HINGE:
+            a = model.jnt_axis[i]
+            out.append(np.concatenate([a, np.cross(anchor, a)]).reshape(6, 1))
+        elif t == SLIDE:
+            out.append(
+                np.concatenate([np.zeros(3), model.jnt_axis[i]]).reshape(6, 1)
+            )
+        elif t == BALL:
+            s = np.zeros((6, 3), np.float32)
+            s[:3] = np.eye(3)
+            s[3:] = _skew_np(anchor)
+            out.append(s)
+        else:  # FREE
+            out.append(np.eye(6, dtype=np.float32))
+    return out
 
 
 def _skew_np(v):
@@ -79,24 +162,22 @@ def _skew_np(v):
     )
 
 
-def joint_subspaces(model: Model) -> List[Optional[np.ndarray]]:
-    return [_joint_subspace(model, i) for i in range(model.nlink)]
+# ---------------------------------------------------------------------------
+# Forward kinematics (per-link, unrolled; cheap relative to dynamics).
+# ---------------------------------------------------------------------------
 
 
 def _joint_pose(model: Model, i: int, q: jax.Array):
-    """Local pose (pos, quat) contributed by link i's joint at config q."""
     t = model.link_jnt_type[i]
     adr = model.link_qadr[i]
     anchor = jnp.asarray(model.jnt_anchor[i])
     if t == -1:
         return jnp.zeros(3), m3.quat_identity()
     if t == HINGE:
-        # MuJoCo ref semantics: the joint displacement is (q - ref).
         quat = m3.quat_from_axis_angle(
             jnp.asarray(model.jnt_axis[i]), q[adr] - model.jnt_ref[i]
         )
-        pos = anchor - m3.quat_rotate(quat, anchor)
-        return pos, quat
+        return anchor - m3.quat_rotate(quat, anchor), quat
     if t == SLIDE:
         return (
             jnp.asarray(model.jnt_axis[i]) * (q[adr] - model.jnt_ref[i]),
@@ -104,8 +185,7 @@ def _joint_pose(model: Model, i: int, q: jax.Array):
         )
     if t == BALL:
         quat = m3.quat_normalize(jax.lax.dynamic_slice(q, (adr,), (4,)))
-        pos = anchor - m3.quat_rotate(quat, anchor)
-        return pos, quat
+        return anchor - m3.quat_rotate(quat, anchor), quat
     if t == FREE:
         pos = jax.lax.dynamic_slice(q, (adr,), (3,))
         quat = m3.quat_normalize(jax.lax.dynamic_slice(q, (adr + 3,), (4,)))
@@ -114,12 +194,10 @@ def _joint_pose(model: Model, i: int, q: jax.Array):
 
 
 def forward_kinematics(model: Model, q: jax.Array):
-    """World poses of all link frames. Returns (pos (nlink,3), quat (nlink,4),
-    rel (list of per-link (pos, quat) relative to parent))."""
+    """World poses; returns (pos (nlink,3), quat (nlink,4), rel list)."""
     pos_list, quat_list, rel = [], [], []
     for i in range(model.nlink):
         jp, jq = _joint_pose(model, i, q)
-        # local = fixed offset ∘ joint
         off_p = jnp.asarray(model.link_pos[i])
         off_q = jnp.asarray(model.link_quat[i])
         rel_p = off_p + m3.quat_rotate(off_q, jp)
@@ -136,159 +214,170 @@ def forward_kinematics(model: Model, q: jax.Array):
     return jnp.stack(pos_list), jnp.stack(quat_list), rel
 
 
-def compute_kinematics(
-    model: Model, state: PhysicsState, subspaces
-) -> Kinematics:
-    pos, quat, rel = forward_kinematics(model, state.q)
-    x_up: List[m3.SpatialTransform] = []
-    v_list: List[jax.Array] = []
+def _build_cdof(model: Model, pos, quat, origin) -> jax.Array:
+    """World-frame (nv, 6) dof subspaces about ``origin`` (unrolled)."""
+    rows: List[jax.Array] = []
     for i in range(model.nlink):
-        rel_p, rel_q = rel[i]
-        x = m3.SpatialTransform(E=jnp.swapaxes(m3.quat_to_mat(rel_q), -1, -2), r=rel_p)
-        x_up.append(x)
-        p = model.link_parent[i]
-        v_parent = v_list[p] if p >= 0 else jnp.zeros(6)
-        v = m3.xform_motion(x, v_parent)
-        S = subspaces[i]
-        if S is not None:
-            d = S.shape[1]
-            qd_i = jax.lax.dynamic_slice(state.qd, (model.link_vadr[i],), (d,))
-            v = v + jnp.asarray(S) @ qd_i
-        v_list.append(v)
-    return Kinematics(pos=pos, quat=quat, x_up=tuple(x_up), v=jnp.stack(v_list))
-
-
-def crba(model: Model, kin: Kinematics, subspaces) -> jax.Array:
-    """Joint-space mass matrix (nv, nv) via composite rigid bodies."""
-    nv = model.nv
-    Ic: List[m3.SpatialInertia] = [
-        m3.make_inertia(
-            jnp.asarray(model.link_mass[i]),
-            jnp.asarray(model.link_com[i]),
-            jnp.asarray(model.link_inertia_com[i]),
-        )
-        for i in range(model.nlink)
-    ]
-    for i in range(model.nlink - 1, -1, -1):
-        p = model.link_parent[i]
-        if p >= 0:
-            Ic[p] = m3.inertia_add(
-                Ic[p], m3.inertia_transform(Ic[i], kin.x_up[i])
-            )
-    M = jnp.zeros((nv, nv))
-    for i in range(model.nlink):
-        S_i = subspaces[i]
-        if S_i is None:
+        t = model.link_jnt_type[i]
+        if t == -1:
             continue
-        d_i = S_i.shape[1]
-        vi = model.link_vadr[i]
-        # F = Ic[i] @ S_i, column-wise (6, d)
-        F = jnp.stack(
-            [m3.inertia_mul(Ic[i], jnp.asarray(S_i)[:, k]) for k in range(d_i)],
-            axis=1,
-        )
-        M = M.at[vi : vi + d_i, vi : vi + d_i].set(jnp.asarray(S_i).T @ F)
-        j = i
-        while model.link_parent[j] >= 0:
-            # climb: express F in the parent's coordinates
-            F = jnp.stack(
-                [
-                    m3.xform_force_inv(kin.x_up[j], F[:, k])
-                    for k in range(d_i)
-                ],
-                axis=1,
-            )
-            j = model.link_parent[j]
-            S_j = subspaces[j]
-            if S_j is None:
-                continue
-            d_j = S_j.shape[1]
-            vj = model.link_vadr[j]
-            blk = F.T @ jnp.asarray(S_j)  # (d_i, d_j)
-            M = M.at[vi : vi + d_i, vj : vj + d_j].set(blk)
-            M = M.at[vj : vj + d_j, vi : vi + d_i].set(blk.T)
-    return M
+        R = m3.quat_to_mat(quat[i])
+        p_rel = pos[i] - origin
+        anchor_w = p_rel + R @ jnp.asarray(model.jnt_anchor[i])
+        if t == HINGE:
+            axis_w = R @ jnp.asarray(model.jnt_axis[i])
+            rows.append(jnp.concatenate([axis_w, jnp.cross(anchor_w, axis_w)]))
+        elif t == SLIDE:
+            axis_w = R @ jnp.asarray(model.jnt_axis[i])
+            rows.append(jnp.concatenate([jnp.zeros(3), axis_w]))
+        elif t == BALL:
+            for k in range(3):
+                e = R[:, k]
+                rows.append(jnp.concatenate([e, jnp.cross(anchor_w, e)]))
+        else:  # FREE: [omega_child; v_child] convention
+            for k in range(3):
+                e = R[:, k]
+                rows.append(jnp.concatenate([e, jnp.cross(p_rel, e)]))
+            for k in range(3):
+                rows.append(jnp.concatenate([jnp.zeros(3), R[:, k]]))
+    return jnp.stack(rows)
+
+
+def compute_kinematics(
+    model: Model, state: PhysicsState, subspaces=None
+) -> Kinematics:
+    pos, quat, _ = forward_kinematics(model, state.q)
+    origin = pos[0]
+    cdof = _build_cdof(model, pos, quat, origin)
+    tables = tree_tables(model)
+    L = jnp.asarray(tables.L_mask)
+    cvel = L @ (cdof * state.qd[:, None])
+    return Kinematics(
+        pos=pos, quat=quat, origin=origin, cdof=cdof, cvel=cvel, qd=state.qd
+    )
+
+
+# ---------------------------------------------------------------------------
+# World-frame inertia helpers (10-parameter form, additive in common frame).
+# ---------------------------------------------------------------------------
+
+
+def _world_inertias(model: Model, kin: Kinematics):
+    """Per-link spatial inertia about kin.origin in world axes:
+    (mass (nlink,), h = m*com (nlink, 3), I (nlink, 3, 3))."""
+    R = m3.quat_to_mat(kin.quat)  # (nlink, 3, 3)
+    mass = jnp.asarray(model.link_mass)
+    com_w = (
+        kin.pos
+        - kin.origin
+        + jnp.einsum("lij,lj->li", R, jnp.asarray(model.link_com))
+    )
+    i_com_w = jnp.einsum(
+        "lij,ljk,lmk->lim", R, jnp.asarray(model.link_inertia_com), R
+    )
+    cx = m3.skew(com_w)
+    i_org = i_com_w + mass[:, None, None] * cx @ jnp.swapaxes(cx, -1, -2)
+    return mass, mass[:, None] * com_w, i_org
+
+
+def _inertia_mul_batched(mass, h, I, v):
+    """(I_spatial v) for stacked links: v (..., 6) -> force (..., 6).
+    n = I w + h x lin ; f = m lin - h x w   (h = m*com)."""
+    w, lin = v[..., :3], v[..., 3:]
+    n = jnp.einsum("...ij,...j->...i", I, w) + jnp.cross(h, lin)
+    f = mass[..., None] * lin - jnp.cross(h, w)
+    return jnp.concatenate([n, f], axis=-1)
+
+
+def crba(model: Model, kin: Kinematics, subspaces=None) -> jax.Array:
+    """Mass matrix via composite rigid bodies, as dense masked matmuls."""
+    tables = tree_tables(model)
+    mass, h, I = _world_inertias(model, kin)
+    # composite over descendants: A[l, d] = 1 iff l is ancestor-or-self of d
+    A = _link_ancestor_matrix(model)  # (nlink, nlink)
+    c_mass = A @ mass
+    c_h = jnp.einsum("ld,di->li", A, h)
+    c_I = jnp.einsum("ld,dij->lij", A, I)
+    dof_link = jnp.asarray(tables.dof_link)
+    F = _inertia_mul_batched(
+        c_mass[dof_link], c_h[dof_link], c_I[dof_link], kin.cdof
+    )  # (nv, 6): F_i = I_crb[link(i)] cdof_i
+    # lower-triangular restriction: same-joint dof pairs (ball/free) appear
+    # in dof_mask in both orders and would double under symmetrization
+    mask = jnp.asarray(
+        np.tril(np.ones((model.nv, model.nv), np.float32)) * tables.dof_mask
+    )
+    Mlow = mask * (F @ kin.cdof.T)  # M[i, j] = F_i . cdof_j, tree-lower
+    return Mlow + Mlow.T - jnp.diag(jnp.diag(Mlow))
+
+
+def _link_ancestor_matrix(model: Model) -> jax.Array:
+    cached = getattr(model, "_link_anc", None)
+    if cached is None:
+        n = model.nlink
+        A = np.zeros((n, n), np.float32)
+        for d in range(n):
+            j = d
+            while j >= 0:
+                A[j, d] = 1.0
+                j = model.link_parent[j]
+        model._link_anc = A
+        cached = A
+    return jnp.asarray(cached)
 
 
 def rnea_bias(
     model: Model,
     kin: Kinematics,
-    subspaces,
+    subspaces=None,
     f_ext_world: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """C(q, qd) including gravity; minus external world forces.
+    """C(q, qd) with gravity; minus external wrenches (about kin.origin)."""
+    tables = tree_tables(model)
+    L = jnp.asarray(tables.L_mask)  # (nlink, nv)
+    dof_link = jnp.asarray(tables.dof_link)
 
-    ``f_ext_world``: (nlink, 6) spatial forces in world coords about the
-    WORLD origin ([p x f + torque; f] accumulated by the contact module).
-    Returns (nv,) generalized bias such that M qdd + bias = tau.
-    """
+    # cdofdot_j = cvel[link(j)] x_motion cdof_j  (exact for all joint types)
+    cdofdot = m3.crm(kin.cvel[dof_link], kin.cdof)  # (nv, 6)
     a0 = jnp.concatenate([jnp.zeros(3), -jnp.asarray(model.gravity)])
-    a_list: List[jax.Array] = []
-    f_list: List[jax.Array] = []
-    I_list = [
-        m3.make_inertia(
-            jnp.asarray(model.link_mass[i]),
-            jnp.asarray(model.link_com[i]),
-            jnp.asarray(model.link_inertia_com[i]),
-        )
-        for i in range(model.nlink)
-    ]
-    v_parent_cache: List[jax.Array] = []
-    for i in range(model.nlink):
-        p = model.link_parent[i]
-        v_parent = v_parent_cache[p] if p >= 0 else jnp.zeros(6)
-        vJ = kin.v[i] - m3.xform_motion(kin.x_up[i], v_parent)
-        a_parent = a_list[p] if p >= 0 else a0
-        a = m3.xform_motion(kin.x_up[i], a_parent) + m3.crm(kin.v[i], vJ)
-        f = m3.inertia_mul(I_list[i], a) + m3.crf(
-            kin.v[i], m3.inertia_mul(I_list[i], kin.v[i])
-        )
-        if f_ext_world is not None:
-            x_wi = m3.SpatialTransform(
-                E=jnp.swapaxes(m3.quat_to_mat(kin.quat[i]), -1, -2), r=kin.pos[i]
-            )
-            f = f - m3.xform_force(x_wi, f_ext_world[i])
-        a_list.append(a)
-        f_list.append(f)
-        v_parent_cache.append(kin.v[i])
-    C = jnp.zeros(model.nv)
-    for i in range(model.nlink - 1, -1, -1):
-        S = subspaces[i]
-        if S is not None:
-            d = S.shape[1]
-            vi = model.link_vadr[i]
-            C = C.at[vi : vi + d].set(jnp.asarray(S).T @ f_list[i])
-        p = model.link_parent[i]
-        if p >= 0:
-            f_list[p] = f_list[p] + m3.xform_force_inv(kin.x_up[i], f_list[i])
-    return C
+    cacc = a0 + L @ (cdofdot * kin.qd[:, None])
+
+    mass, h, I = _world_inertias(model, kin)
+    Iv = _inertia_mul_batched(mass, h, I, kin.cvel)
+    f = _inertia_mul_batched(mass, h, I, cacc) + m3.crf(kin.cvel, Iv)
+    if f_ext_world is not None:
+        f = f - f_ext_world
+    # C_j = sum_l L[l, j] * (f_l . cdof_j)
+    G = f @ kin.cdof.T  # (nlink, nv)
+    return jnp.sum(G * L, axis=0)
 
 
 def passive_forces(model: Model, state: PhysicsState) -> jax.Array:
-    """Joint springs + limit penalties (damping handled implicitly in the
-    integrator). Returns (nv,) generalized force."""
+    """Joint springs + limit penalties, vectorized over the 1-dof joints."""
+    tables = tree_tables(model)
     tau = jnp.zeros(model.nv)
-    for i in range(model.nlink):
-        t = model.link_jnt_type[i]
-        if t not in (HINGE, SLIDE):
-            continue
-        adr, vadr = model.link_qadr[i], model.link_vadr[i]
-        qi, qdi = state.q[adr], state.qd[vadr]
-        f = -model.jnt_stiffness[i] * (qi - model.jnt_springref[i])
-        if model.jnt_limited[i] > 0:
-            lo, hi = model.jnt_range[i]
-            below = jnp.minimum(qi - lo, 0.0)
-            above = jnp.maximum(qi - hi, 0.0)
-            viol = below + above
-            f = f - model.limit_stiffness * viol
-            active = jnp.abs(viol) > 0
-            f = f - jnp.where(active, model.limit_damping * qdi, 0.0)
-        tau = tau.at[vadr].add(f)
-    return tau
+    if tables.hinge_slide_q.size == 0:
+        return tau
+    qi = state.q[jnp.asarray(tables.hinge_slide_q)]
+    qdi = state.qd[jnp.asarray(tables.hinge_slide_v)]
+    li = tables.hinge_slide_link
+    stiff = jnp.asarray(model.jnt_stiffness[li])
+    springref = jnp.asarray(model.jnt_springref[li])
+    f = -stiff * (qi - springref)
+    if tables.limited_idx.size > 0:
+        sel = tables.limited_idx
+        lo = jnp.asarray(model.jnt_range[li][sel, 0])
+        hi = jnp.asarray(model.jnt_range[li][sel, 1])
+        qs, qds = qi[sel], qdi[sel]
+        viol = jnp.minimum(qs - lo, 0.0) + jnp.maximum(qs - hi, 0.0)
+        fl = -model.limit_stiffness * viol - jnp.where(
+            jnp.abs(viol) > 0, model.limit_damping * qds, 0.0
+        )
+        f = f.at[sel].add(fl)
+    return tau.at[jnp.asarray(tables.hinge_slide_v)].add(f)
 
 
 def actuation(model: Model, ctrl: jax.Array) -> jax.Array:
-    """Torque motors: tau[dof] += gear * clip(ctrl)."""
     tau = jnp.zeros(model.nv)
     if model.nu == 0:
         return tau
@@ -300,63 +389,59 @@ def actuation(model: Model, ctrl: jax.Array) -> jax.Array:
 
 
 def fluid_forces(model: Model, kin: Kinematics) -> jax.Array:
-    """MuJoCo's legacy inertia-box fluid model (medium density/viscosity).
+    """MuJoCo's legacy inertia-box fluid model, vectorized over links.
 
-    Per body, in its principal-inertia frame with equivalent box half-sizes
-    ``b`` (precomputed in the model), com velocity ``v`` and angular velocity
-    ``w`` (formulas verified numerically against MuJoCo 3.x qfrc_passive):
-
+    Formulas verified numerically against MuJoCo 3.x (see tests):
         F_i   = -3 pi (2 mean(b)) mu v_i  -  2 rho b_j b_k |v_i| v_i
         tau_i = -pi (2 mean(b))^3 mu w_i  -  0.5 rho b_i (b_j^4+b_k^4)|w_i| w_i
-
-    Returns (nlink, 6) world wrenches about the world origin. This is what
-    makes the gym swimmer swim (its MJCF sets density=4000, viscosity=0.1).
+    computed in each body's principal-inertia frame at its com.
+    Returns (nlink, 6) wrenches about kin.origin.
     """
-    f_ext = jnp.zeros((model.nlink, 6))
     rho, mu = model.density, model.viscosity
     if rho == 0.0 and mu == 0.0:
-        return f_ext
-    for i in range(model.nlink):
-        if model.link_mass[i] <= 0:
-            continue
-        R_wl = m3.quat_to_mat(kin.quat[i])
-        R_lp = m3.quat_to_mat(jnp.asarray(model.link_iquat[i]))
-        R_wp = R_wl @ R_lp
-        com_w = kin.pos[i] + R_wl @ jnp.asarray(model.link_com[i])
-        omega_w = R_wl @ kin.v[i][:3]
-        v_com_w = R_wl @ kin.v[i][3:] + jnp.cross(omega_w, com_w - kin.pos[i])
-        w_p = R_wp.T @ omega_w
-        v_p = R_wp.T @ v_com_w
-        b = jnp.asarray(model.link_ibox[i])
-        b_j = b[jnp.array([1, 2, 0])]
-        b_k = b[jnp.array([2, 0, 1])]
-        d_eq = 2.0 * jnp.mean(b)
-        force = -3.0 * jnp.pi * d_eq * mu * v_p - 2.0 * rho * b_j * b_k * jnp.abs(
-            v_p
-        ) * v_p
-        torque = -jnp.pi * d_eq**3 * mu * w_p - 0.5 * rho * b * (
-            b_j**4 + b_k**4
-        ) * jnp.abs(w_p) * w_p
-        f_w = R_wp @ force
-        t_w = R_wp @ torque
-        wrench = jnp.concatenate([jnp.cross(com_w, f_w) + t_w, f_w])
-        f_ext = f_ext.at[i].add(wrench)
-    return f_ext
+        return jnp.zeros((model.nlink, 6))
+    R_wl = m3.quat_to_mat(kin.quat)
+    R_lp = m3.quat_to_mat(jnp.asarray(model.link_iquat))
+    R_wp = R_wl @ R_lp
+    com_w = kin.pos - kin.origin + jnp.einsum(
+        "lij,lj->li", R_wl, jnp.asarray(model.link_com)
+    )
+    omega_w = kin.cvel[:, :3]
+    v_com_w = kin.cvel[:, 3:] + jnp.cross(omega_w, com_w)
+    w_p = jnp.einsum("lji,lj->li", R_wp, omega_w)
+    v_p = jnp.einsum("lji,lj->li", R_wp, v_com_w)
+    b = jnp.asarray(model.link_ibox)
+    b_j = b[:, [1, 2, 0]]
+    b_k = b[:, [2, 0, 1]]
+    d_eq = 2.0 * jnp.mean(b, axis=1, keepdims=True)
+    force = -3.0 * jnp.pi * d_eq * mu * v_p - 2.0 * rho * b_j * b_k * jnp.abs(
+        v_p
+    ) * v_p
+    torque = -jnp.pi * d_eq**3 * mu * w_p - 0.5 * rho * b * (
+        b_j**4 + b_k**4
+    ) * jnp.abs(w_p) * w_p
+    has_mass = (jnp.asarray(model.link_mass) > 0).astype(force.dtype)[:, None]
+    f_w = jnp.einsum("lij,lj->li", R_wp, force) * has_mass
+    t_w = jnp.einsum("lij,lj->li", R_wp, torque) * has_mass
+    return jnp.concatenate([jnp.cross(com_w, f_w) + t_w, f_w], axis=-1)
 
 
 def integrate(
     model: Model, state: PhysicsState, qdd: jax.Array, dt: Optional[float] = None
 ) -> PhysicsState:
-    """Semi-implicit Euler with quaternion exponential-map updates."""
+    """Semi-implicit Euler; vectorized 1-dof update, per-link ball/free."""
     dt = model.dt if dt is None else dt
+    tables = tree_tables(model)
     qd = state.qd + dt * qdd
     q = state.q
+    if tables.hinge_slide_q.size > 0:
+        qa = jnp.asarray(tables.hinge_slide_q)
+        va = jnp.asarray(tables.hinge_slide_v)
+        q = q.at[qa].add(dt * qd[va])
     for i in range(model.nlink):
         t = model.link_jnt_type[i]
         adr, vadr = model.link_qadr[i], model.link_vadr[i]
-        if t in (HINGE, SLIDE):
-            q = q.at[adr].add(dt * qd[vadr])
-        elif t == BALL:
+        if t == BALL:
             quat = jax.lax.dynamic_slice(q, (adr,), (4,))
             omega = jax.lax.dynamic_slice(qd, (vadr,), (3,))
             q = jax.lax.dynamic_update_slice(
@@ -383,12 +468,10 @@ def forward_dynamics(
     kin: Optional[Kinematics] = None,
     dt: Optional[float] = None,
 ) -> jax.Array:
-    """qdd from the full pipeline (no integration)."""
-    subspaces = subspaces or joint_subspaces(model)
-    kin = kin or compute_kinematics(model, state, subspaces)
+    kin = kin or compute_kinematics(model, state)
     dt = model.dt if dt is None else dt
-    M = crba(model, kin, subspaces)
-    C = rnea_bias(model, kin, subspaces, f_ext_world)
+    M = crba(model, kin)
+    C = rnea_bias(model, kin, f_ext_world=f_ext_world)
     tau = actuation(model, ctrl) + passive_forces(model, state)
     damping = jnp.asarray(model.dof_damping)
     armature = jnp.asarray(model.dof_armature)
@@ -405,13 +488,12 @@ def step(
     f_ext_world: Optional[jax.Array] = None,
     subspaces=None,
 ) -> PhysicsState:
-    """One dt of the full pipeline (``model.n_substeps`` internal substeps).
-    Pass ``f_ext_world`` to override the computed contact+fluid forces."""
-    subspaces = subspaces or joint_subspaces(model)
+    """One dt (``model.n_substeps`` internal substeps)."""
     n = model.n_substeps
     dt = model.dt / n
-    for _ in range(n):
-        kin = compute_kinematics(model, state, subspaces)
+
+    def substep(state, _):
+        kin = compute_kinematics(model, state)
         f_ext = f_ext_world
         if f_ext is None:
             if model.contact_pairs:
@@ -422,7 +504,11 @@ def step(
                 fluid = fluid_forces(model, kin)
                 f_ext = fluid if f_ext is None else f_ext + fluid
         qdd = forward_dynamics(
-            model, state, ctrl, f_ext, subspaces=subspaces, kin=kin, dt=dt
+            model, state, ctrl, f_ext, kin=kin, dt=dt
         )
-        state = integrate(model, state, qdd, dt=dt)
+        return integrate(model, state, qdd, dt=dt), ()
+
+    if n == 1:
+        return substep(state, None)[0]
+    state, _ = jax.lax.scan(substep, state, None, length=n)
     return state

@@ -204,3 +204,42 @@ def test_trajectory_matches_mujoco_euler():
         state = step(model, state, jnp.asarray([0.3]), subspaces=subs)
     np.testing.assert_allclose(np.asarray(state.q), md.qpos, atol=2e-4)
     np.testing.assert_allclose(np.asarray(state.qd), md.qvel, atol=2e-3)
+
+
+def test_ant_free_joint_trajectory_matches():
+    """3-D free-joint pipeline parity: airborne ant, joints inside their
+    limit ranges (limits use penalties here vs constraints in MuJoCo, so the
+    comparison window is the constraint-free phase)."""
+    from mjrl_tpu.physics import math3d as m3
+
+    path = os.path.join(ASSETS, "ant.xml")
+    xml = open(path).read().replace('integrator="RK4"', 'integrator="Euler"')
+    model = load_mjcf(xml)
+    mm = mujoco.MjModel.from_xml_string(xml)
+    md = mujoco.MjData(mm)
+    rng = np.random.default_rng(0)
+    q = mm.qpos0.copy()
+    q[2] += 3.0
+    for j in range(mm.njnt):
+        if mm.jnt_limited[j]:
+            lo, hi = mm.jnt_range[j]
+            q[mm.jnt_qposadr[j]] = 0.5 * (lo + hi) + rng.normal(scale=0.02)
+    v_w = rng.normal(scale=0.2, size=3)
+    w_b = rng.normal(scale=0.3, size=3)
+    qd_j = rng.normal(scale=0.1, size=mm.nv - 6)
+    md.qpos[:] = q
+    md.qvel[:3] = v_w
+    md.qvel[3:6] = w_b
+    md.qvel[6:] = qd_j
+    # map mujoco free qvel [v_world, w_body] -> ours [w_body, v_body]
+    v_b = np.asarray(m3.quat_rotate_inv(jnp.asarray(q[3:7]), jnp.asarray(v_w)))
+    state = PhysicsState(
+        q=jnp.asarray(q), qd=jnp.asarray(np.concatenate([w_b, v_b, qd_j]))
+    )
+    ctrl = rng.uniform(-0.3, 0.3, size=mm.nu)
+    md.ctrl[:] = ctrl
+    for _ in range(10):
+        mujoco.mj_step(mm, md)
+        state = step(model, state, jnp.asarray(ctrl))
+    assert md.nefc == 0, "comparison window must stay constraint-free"
+    np.testing.assert_allclose(np.asarray(state.q), md.qpos, atol=1e-3)
