@@ -80,6 +80,13 @@ class TreeTables(NamedTuple):
     hinge_slide_v: np.ndarray  # v addresses of 1-dof joints
     hinge_slide_link: np.ndarray
     limited_idx: np.ndarray  # subset of 1-dof joints with limits
+    # level-wise FK structure: links grouped by tree depth (root level first)
+    levels: Tuple[np.ndarray, ...]
+    level_parents: Tuple[np.ndarray, ...]
+    # per-type link groups for batched joint-pose / cdof construction
+    hinge_links: np.ndarray
+    slide_links: np.ndarray
+    other_links: np.ndarray  # ball/free/fixed (handled per link)
 
 
 def tree_tables(model: Model) -> TreeTables:
@@ -116,6 +123,30 @@ def tree_tables(model: Model) -> TreeTables:
             hs_q.append(model.link_qadr[i])
             hs_v.append(model.link_vadr[i])
             hs_l.append(i)
+
+    # depth levels
+    depth = np.zeros(nlink, np.int32)
+    for i in range(nlink):
+        p = model.link_parent[i]
+        depth[i] = 0 if p < 0 else depth[p] + 1
+    levels, level_parents = [], []
+    for d in range(int(depth.max()) + 1):
+        idx = np.flatnonzero(depth == d).astype(np.int32)
+        levels.append(idx)
+        level_parents.append(
+            np.asarray([model.link_parent[i] for i in idx], np.int32)
+        )
+
+    hinge_links = np.asarray(
+        [i for i in range(nlink) if model.link_jnt_type[i] == HINGE], np.int32
+    )
+    slide_links = np.asarray(
+        [i for i in range(nlink) if model.link_jnt_type[i] == SLIDE], np.int32
+    )
+    other_links = np.asarray(
+        [i for i in range(nlink) if model.link_jnt_type[i] not in (HINGE, SLIDE)],
+        np.int32,
+    )
     tables = TreeTables(
         dof_link=dof_link,
         L_mask=L,
@@ -124,6 +155,11 @@ def tree_tables(model: Model) -> TreeTables:
         hinge_slide_v=np.asarray(hs_v, np.int32),
         hinge_slide_link=np.asarray(hs_l, np.int32),
         limited_idx=np.asarray(limited, np.int32),
+        levels=tuple(levels),
+        level_parents=tuple(level_parents),
+        hinge_links=hinge_links,
+        slide_links=slide_links,
+        other_links=other_links,
     )
     model._tables = tables
     return tables
@@ -194,53 +230,101 @@ def _joint_pose(model: Model, i: int, q: jax.Array):
 
 
 def forward_kinematics(model: Model, q: jax.Array):
-    """World poses; returns (pos (nlink,3), quat (nlink,4), rel list)."""
-    pos_list, quat_list, rel = [], [], []
-    for i in range(model.nlink):
-        jp, jq = _joint_pose(model, i, q)
-        off_p = jnp.asarray(model.link_pos[i])
-        off_q = jnp.asarray(model.link_quat[i])
-        rel_p = off_p + m3.quat_rotate(off_q, jp)
-        rel_q = m3.quat_mul(off_q, jq)
-        p = model.link_parent[i]
-        if p < 0:
-            w_p, w_q = rel_p, rel_q
-        else:
-            w_p = pos_list[p] + m3.quat_rotate(quat_list[p], rel_p)
-            w_q = m3.quat_mul(quat_list[p], rel_q)
-        pos_list.append(w_p)
-        quat_list.append(w_q)
-        rel.append((rel_p, rel_q))
-    return jnp.stack(pos_list), jnp.stack(quat_list), rel
+    """World poses via LEVEL-WISE propagation: joint poses for all links are
+    built in a few type-batched ops, then composed down the tree in
+    tree-depth (not link-count) sequential steps — the op count a TPU
+    executes scales with depth (<=5 for humanoid), not nlink.
+
+    Returns (pos (nlink, 3), quat (nlink, 4), (rel_p, rel_q) arrays).
+    """
+    tables = tree_tables(model)
+    nlink = model.nlink
+
+    # --- joint poses for every link, batched by joint type ---
+    jp = jnp.zeros((nlink, 3))
+    jq = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (nlink, 4))
+    H = tables.hinge_links
+    if H.size:
+        angles = q[np.asarray(model.link_qadr)[H]] - jnp.asarray(model.jnt_ref[H])
+        axes = jnp.asarray(model.jnt_axis[H])
+        anchors = jnp.asarray(model.jnt_anchor[H])
+        quats = m3.quat_from_axis_angle(axes, angles)
+        jq = jq.at[H].set(quats)
+        jp = jp.at[H].set(anchors - m3.quat_rotate(quats, anchors))
+    S = tables.slide_links
+    if S.size:
+        disp = q[np.asarray(model.link_qadr)[S]] - jnp.asarray(model.jnt_ref[S])
+        jp = jp.at[S].set(jnp.asarray(model.jnt_axis[S]) * disp[:, None])
+    for i in tables.other_links:
+        t = model.link_jnt_type[i]
+        if t == -1:
+            continue
+        p_i, q_i = _joint_pose(model, int(i), q)
+        jp = jp.at[i].set(p_i)
+        jq = jq.at[i].set(q_i)
+
+    off_p = jnp.asarray(model.link_pos)
+    off_q = jnp.asarray(model.link_quat)
+    rel_p = off_p + m3.quat_rotate(off_q, jp)
+    rel_q = m3.quat_mul(off_q, jq)
+
+    # --- compose down the tree, one batched step per depth level ---
+    pos = rel_p
+    quat = rel_q
+    for lvl, parents in zip(tables.levels[1:], tables.level_parents[1:]):
+        pos = pos.at[lvl].set(
+            pos[parents] + m3.quat_rotate(quat[parents], rel_p[lvl])
+        )
+        quat = quat.at[lvl].set(m3.quat_mul(quat[parents], rel_q[lvl]))
+    return pos, quat, (rel_p, rel_q)
 
 
 def _build_cdof(model: Model, pos, quat, origin) -> jax.Array:
-    """World-frame (nv, 6) dof subspaces about ``origin`` (unrolled)."""
-    rows: List[jax.Array] = []
-    for i in range(model.nlink):
+    """World-frame (nv, 6) dof subspaces about ``origin``, type-batched."""
+    tables = tree_tables(model)
+    cdof = jnp.zeros((model.nv, 6))
+    vadr = np.asarray(model.link_vadr)
+
+    H = tables.hinge_links
+    if H.size:
+        qh = m3.quat_to_mat(quat[H])  # (h, 3, 3)
+        p_rel = pos[H] - origin
+        axis_w = jnp.einsum("hij,hj->hi", qh, jnp.asarray(model.jnt_axis[H]))
+        anchor_w = p_rel + jnp.einsum(
+            "hij,hj->hi", qh, jnp.asarray(model.jnt_anchor[H])
+        )
+        rows = jnp.concatenate([axis_w, jnp.cross(anchor_w, axis_w)], axis=-1)
+        cdof = cdof.at[vadr[H]].set(rows)
+    S = tables.slide_links
+    if S.size:
+        qs = m3.quat_to_mat(quat[S])
+        axis_w = jnp.einsum("hij,hj->hi", qs, jnp.asarray(model.jnt_axis[S]))
+        rows = jnp.concatenate([jnp.zeros_like(axis_w), axis_w], axis=-1)
+        cdof = cdof.at[vadr[S]].set(rows)
+    for i in tables.other_links:
         t = model.link_jnt_type[i]
         if t == -1:
             continue
         R = m3.quat_to_mat(quat[i])
         p_rel = pos[i] - origin
-        anchor_w = p_rel + R @ jnp.asarray(model.jnt_anchor[i])
-        if t == HINGE:
-            axis_w = R @ jnp.asarray(model.jnt_axis[i])
-            rows.append(jnp.concatenate([axis_w, jnp.cross(anchor_w, axis_w)]))
-        elif t == SLIDE:
-            axis_w = R @ jnp.asarray(model.jnt_axis[i])
-            rows.append(jnp.concatenate([jnp.zeros(3), axis_w]))
-        elif t == BALL:
-            for k in range(3):
-                e = R[:, k]
-                rows.append(jnp.concatenate([e, jnp.cross(anchor_w, e)]))
+        v = int(vadr[i])
+        if t == BALL:
+            anchor_w = p_rel + R @ jnp.asarray(model.jnt_anchor[i])
+            e = R.T  # rows = columns of R
+            rows = jnp.concatenate(
+                [e, jnp.cross(jnp.broadcast_to(anchor_w, (3, 3)), e)], axis=-1
+            )
+            cdof = jax.lax.dynamic_update_slice(cdof, rows, (v, 0))
         else:  # FREE: [omega_child; v_child] convention
-            for k in range(3):
-                e = R[:, k]
-                rows.append(jnp.concatenate([e, jnp.cross(p_rel, e)]))
-            for k in range(3):
-                rows.append(jnp.concatenate([jnp.zeros(3), R[:, k]]))
-    return jnp.stack(rows)
+            e = R.T
+            rot = jnp.concatenate(
+                [e, jnp.cross(jnp.broadcast_to(p_rel, (3, 3)), e)], axis=-1
+            )
+            trn = jnp.concatenate([jnp.zeros((3, 3)), e], axis=-1)
+            cdof = jax.lax.dynamic_update_slice(
+                cdof, jnp.concatenate([rot, trn], axis=0), (v, 0)
+            )
+    return cdof
 
 
 def compute_kinematics(
@@ -477,8 +561,9 @@ def forward_dynamics(
     armature = jnp.asarray(model.dof_armature)
     rhs = tau - C - damping * state.qd
     A = M + jnp.diag(armature + dt * damping)
-    chol = jax.scipy.linalg.cho_factor(A)
-    return jax.scipy.linalg.cho_solve(chol, rhs)
+    from mjrl_tpu.ops.smallchol import chol_solve_small
+
+    return chol_solve_small(A, rhs)
 
 
 def step(
