@@ -193,6 +193,46 @@ class AntEnv(LocomotionEnv):
         return finite & (z > 0.2) & (z < 1.0)
 
 
+class HumanoidEnv(LocomotionEnv):
+    """Humanoid-v4 task conventions on the 3-D humanoid model.
+
+    Reward/termination follow gymnasium humanoid_v4 (forward_reward_weight
+    1.25 on the CENTER-OF-MASS x velocity, healthy_reward 5.0, ctrl cost
+    0.1, healthy z in (1.0, 2.0); the tiny v4 contact cost is omitted —
+    contact forces here come from the penalty model). Observation is the
+    compact [qpos[2:], qvel] (45-dim) rather than gym's 376-dim stack of
+    cinert/cvel/qfrc/cfrc features; the policy-relevant state is identical
+    and the extended observation is planned (model compilation already
+    matches MuJoCo to 1e-6 — see tests).
+    """
+
+    asset = "humanoid.xml"
+    frame_skip = 5
+    forward_reward_weight = 1.25
+    ctrl_cost_weight = 0.1
+    healthy_reward = 5.0
+    reset_noise_scale = 1e-2
+    exclude_positions = 2
+    clip_qvel_obs = None
+    n_substeps = 2  # dt=0.003 with ~0.5kg hands: finer contact substep
+
+    def _healthy(self, ps: PhysicsState) -> jax.Array:
+        z = ps.q[2]
+        return (z > 1.0) & (z < 2.0)
+
+    def _x_pos(self, ps: PhysicsState) -> jax.Array:
+        # gym humanoid measures forward progress of the mass center
+        from mjrl_tpu.physics.engine import forward_kinematics
+
+        pos, quat, _ = forward_kinematics(self.model, ps.q)
+        import mjrl_tpu.physics.math3d as m3
+
+        com = pos + m3.quat_rotate(quat, jnp.asarray(self.model.link_com))
+        mass = jnp.asarray(self.model.link_mass)
+        return jnp.sum(mass * com[:, 0]) / jnp.sum(mass)
+
+
+register("humanoid", HumanoidEnv)
 register("hopper", HopperEnv)
 register("walker2d", Walker2dEnv)
 register("half_cheetah", HalfCheetahEnv)

@@ -49,6 +49,8 @@ def train_agent(
     print_table: bool = True,
     profile_dir: Optional[str] = None,
     profile_iters: int = 3,
+    max_retries: int = 3,
+    retry_backoff_s: float = 5.0,
 ) -> None:
     os.makedirs(job_name, exist_ok=True)
     logdir = os.path.join(job_name, "logs")
@@ -81,8 +83,25 @@ def train_agent(
             jax.profiler.start_trace(profile_dir)
         t0 = time.time()
         key = jax.random.fold_in(base_key, i)
-        state, metrics = train_step(state, key)
-        metrics = jax.block_until_ready(metrics)
+        # Failure recovery (SURVEY.md §5.3): transient device errors retry
+        # with backoff from the in-memory state; a hard crash restarts from
+        # the latest checkpoint via `resume` on relaunch. The float() read
+        # fences the step (block_until_ready is unreliable on tunneled
+        # backends).
+        for attempt in range(max_retries + 1):
+            try:
+                new_state, metrics = train_step(state, key)
+                float(jax.tree.leaves(metrics)[0])
+                state = new_state
+                break
+            except jax.errors.JaxRuntimeError:
+                if attempt == max_retries:
+                    raise
+                print(
+                    f"transient device error at iter {i}; retry "
+                    f"{attempt + 1}/{max_retries}"
+                )
+                time.sleep(retry_backoff_s * (attempt + 1))
         t_step = time.time() - t0
         if profile_dir is not None and i == start_iter + 1 + profile_iters:
             jax.profiler.stop_trace()
