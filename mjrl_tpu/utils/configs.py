@@ -67,6 +67,8 @@ class RunConfig:
     gamma: float = 0.995
     gae_lambda: Optional[float] = 0.97
     agent_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # parallelism: shard the env axis over this many devices (0 = single)
+    mesh_devices: int = 0
     # harness
     save_freq: int = 10
     evaluation_rollouts: int = 0
@@ -97,6 +99,11 @@ class RunConfig:
 
 def build(cfg: RunConfig):
     """Construct (env, policy, baseline, agent) from a config."""
+    mesh = None
+    if cfg.mesh_devices and cfg.mesh_devices > 1:
+        from mjrl_tpu.parallel import make_mesh
+
+        mesh = make_mesh(cfg.mesh_devices)
     env = envs.make(cfg.env_name, **cfg.env_kwargs)
     pol_cls = POLICIES[cfg.policy]
     pol_kwargs: Dict[str, Any] = dict(
@@ -116,6 +123,7 @@ def build(cfg: RunConfig):
         horizon=cfg.horizon,
         gamma=cfg.gamma,
         gae_lambda=cfg.gae_lambda,
+        mesh=mesh,
         **cfg.agent_kwargs,
     )
     return env, policy, baseline, agent

@@ -131,3 +131,17 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     mean, log_std = jax.block_until_ready(out)
     assert mean.shape == (4096, 2)
+
+
+def test_config_mesh_devices_builds_sharded_agent():
+    from mjrl_tpu.utils.configs import RunConfig, build
+
+    cfg = RunConfig(
+        env_name="point_mass", algorithm="npg", num_traj=16,
+        horizon=5, mesh_devices=8, hidden_sizes=(8,),
+    )
+    env, pol, bl, agent = build(cfg)
+    assert agent.mesh is not None
+    state = agent.init(jax.random.PRNGKey(0))
+    state, metrics = jax.jit(agent.train_step)(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["stoc_pol_mean"]))
