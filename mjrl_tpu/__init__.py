@@ -20,4 +20,16 @@ parity tooling can read both frameworks' logs side by side.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Physics correctness requires f32 contractions: with the TPU default
+# ("bfloat16") the engine's small einsums (rotations, inertia products) run
+# at ~3 significant digits whenever XLA routes them to the MXU — under jit
+# they usually fuse into f32 VPU ops, but EAGER execution hits the MXU
+# op-by-op and measurably corrupts rollouts (a trained hopper's episode
+# length drops ~10x when evaluated eagerly). f32 precision costs nothing
+# at this framework's matmul sizes. Re-override after import if you know
+# what you're doing.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from mjrl_tpu.types import EnvSpec, TrajectoryBatch  # noqa: F401

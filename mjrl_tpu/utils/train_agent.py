@@ -76,6 +76,7 @@ def train_agent(
         eval_fn = jax.jit(_eval)
 
     best_perf = -np.inf
+    best_state = None
     base_key = jax.random.PRNGKey(seed)
 
     for i in range(start_iter, niter):
@@ -91,7 +92,9 @@ def train_agent(
         for attempt in range(max_retries + 1):
             try:
                 new_state, metrics = train_step(state, key)
-                float(jax.tree.leaves(metrics)[0])
+                # ONE device->host transfer for all metrics (per-scalar
+                # float() reads cost a full RTT each on tunneled backends)
+                metrics = jax.device_get(metrics)
                 state = new_state
                 break
             except jax.errors.JaxRuntimeError:
@@ -122,10 +125,13 @@ def train_agent(
         perf = row.get("eval_score", row["running_score"])
         if perf > best_perf:
             best_perf = perf
-            ckpt.save_best(state)
+            best_state = jax.device_get(state)  # cheap snapshot in host RAM
 
         if i % save_freq == 0 or i == niter - 1:
             ckpt.save(i + 1, state)
+            if best_state is not None:
+                ckpt.save_best(best_state)  # write best at save points only
+                best_state = None
             logger.save_log(logdir)
             make_train_plots(log=logger, keys=plot_keys, save_loc=logdir)
 
