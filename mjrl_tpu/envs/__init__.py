@@ -7,3 +7,8 @@ from mjrl_tpu.envs.base import Env, make, register, registered_envs  # noqa: F40
 import mjrl_tpu.envs.point_mass  # noqa: F401
 import mjrl_tpu.envs.classic  # noqa: F401
 import mjrl_tpu.envs.locomotion  # noqa: F401
+
+try:  # Adroit requires the mujoco wheel (MJCF front-end) + assets
+    import mjrl_tpu.envs.adroit  # noqa: F401
+except ImportError:  # pragma: no cover - mujoco/gymnasium_robotics absent
+    pass

@@ -49,33 +49,30 @@ class _PairGroups(NamedTuple):
     kinds: Tuple[Tuple[str, Dict[str, np.ndarray]], ...]
 
 
+_RANK = {SPHERE: 0, CAPSULE: 1, CYLINDER: 1, BOX: 2, PLANE: 3}
+_KIND_NAME = {0: "sphere", 1: "capsule", 2: "box", 3: "plane"}
+
+
 def _pair_groups(model: Model) -> _PairGroups:
     cached = getattr(model, "_pair_groups", None)
     if cached is not None:
         return cached
     buckets: Dict[str, List[Dict]] = {}
+    pair_mu = getattr(model, "pair_mu", None) or {}
     for gi, gj in model.contact_pairs:
-        ti, tj = model.geom_type[gi], model.geom_type[gj]
+        # normalize order: sphere < capsule/cylinder < box < plane
+        if _RANK[model.geom_type[gi]] > _RANK[model.geom_type[gj]]:
+            gi, gj = gj, gi
+        ri, rj = _RANK[model.geom_type[gi]], _RANK[model.geom_type[gj]]
         mu = max(float(model.geom_friction[gi]), float(model.geom_friction[gj]))
+        # explicit <pair> friction / condim=1 frictionless overrides
+        mu = pair_mu.get((gi, gj), pair_mu.get((gj, gi), mu))
         row = dict(gi=gi, gj=gj, mu=mu,
                    li=model.geom_link[gi], lj=model.geom_link[gj])
-        if tj == PLANE:
-            if ti == SPHERE:
-                buckets.setdefault("sphere_plane", []).append(row)
-            elif ti in (CAPSULE, CYLINDER):
-                buckets.setdefault("capsule_plane", []).append(row)
-            elif ti == BOX:
-                buckets.setdefault("box_plane", []).append(row)
-        elif ti == SPHERE and tj == SPHERE:
-            buckets.setdefault("sphere_sphere", []).append(row)
-        elif ti == SPHERE and tj == CAPSULE:
-            buckets.setdefault("sphere_capsule", []).append(row)
-        elif ti == CAPSULE and tj == SPHERE:
-            buckets.setdefault("sphere_capsule", []).append(
-                dict(gi=gj, gj=gi, mu=mu, li=row["lj"], lj=row["li"])
-            )
-        elif ti in (CAPSULE, CYLINDER) and tj in (CAPSULE, CYLINDER):
-            buckets.setdefault("capsule_capsule", []).append(row)
+        kind = f"{_KIND_NAME[ri]}_{_KIND_NAME[rj]}"
+        if kind == "plane_plane":
+            continue
+        buckets.setdefault(kind, []).append(row)
     kinds = []
     for kind, rows in buckets.items():
         tab = {
@@ -223,6 +220,50 @@ def _collide_kind(model: Model, kin: Kinematics, kind: str, tab):
         closest = a + t[:, None] * d
         return _sphere_sphere(pi, si[:, 0], closest, sj[:, 0], li, lj, mu)
 
+    if kind == "sphere_box":
+        depth, nrm, pts = _sphere_box(pi, si[:, 0], pj, qj, sj)
+        return depth, nrm, pts, li, lj, mu
+
+    if kind == "capsule_box":
+        # sample the capsule segment at K points; each is a sphere-vs-box
+        # test (fingers' thin capsules vs palm/table boxes: radius << box)
+        K = 3
+        axis = m3.quat_rotate(qi, jnp.array([0.0, 0.0, 1.0]))
+        ts = jnp.linspace(-1.0, 1.0, K)
+        centers = (
+            pi[:, None, :] + ts[None, :, None] * si[:, 1:2, None] * axis[:, None, :]
+        )  # (P, K, 3)
+        P = centers.shape[0]
+        rep = lambda x: np.repeat(x, K)
+        depth, nrm, pts = _sphere_box(
+            centers.reshape(P * K, 3),
+            jnp.repeat(si[:, 0], K),
+            jnp.repeat(pj, K, axis=0),
+            jnp.repeat(qj, K, axis=0),
+            jnp.repeat(sj, K, axis=0),
+        )
+        return depth, nrm, pts, rep(li), rep(lj), jnp.repeat(jnp.asarray(mu), K)
+
+    if kind == "box_box":
+        # corner-vs-box both ways (16 candidate points; adequate for the
+        # face-dominated contacts of the penalty model: object-on-table,
+        # palm-vs-object)
+        d1, n1, p1 = _box_corners_in_box(pi, qi, si, pj, qj, sj)
+        d2, n2, p2 = _box_corners_in_box(pj, qj, sj, pi, qi, si)
+        P = pi.shape[0]
+        depth = jnp.concatenate([d1, d2]).reshape(-1)
+        nrm = jnp.concatenate([n1, -n2]).reshape(-1, 3)
+        pts = jnp.concatenate([p1, p2]).reshape(-1, 3)
+        rep = lambda x: np.concatenate([np.repeat(x, 8), np.repeat(x, 8)])
+        return (
+            depth,
+            nrm,
+            pts,
+            rep(li),
+            rep(lj),
+            jnp.concatenate([jnp.repeat(jnp.asarray(mu), 8)] * 2),
+        )
+
     if kind == "capsule_capsule":
         ax_i = m3.quat_rotate(qi, jnp.array([0.0, 0.0, 1.0]))
         ax_j = m3.quat_rotate(qj, jnp.array([0.0, 0.0, 1.0]))
@@ -248,6 +289,55 @@ def _collide_kind(model: Model, kin: Kinematics, kind: str, tab):
         return _sphere_sphere(c1, si[:, 0], c2, sj[:, 0], li, lj, mu)
 
     raise ValueError(kind)
+
+
+def _sphere_box(c, r, pb, qb, sb):
+    """Sphere centers ``c (P,3)`` radius ``r (P,)`` vs boxes at ``pb/qb`` with
+    half-sizes ``sb``. Returns (depth (P,), normal j->i world (P,3), world
+    contact points (P,3))."""
+    R = m3.quat_to_mat(qb)  # (P, 3, 3) box -> world
+    p = jnp.einsum("pji,pj->pi", R, c - pb)  # center in box frame
+    clamped = jnp.clip(p, -sb, sb)
+    delta = p - clamped
+    d_out = jnp.linalg.norm(delta, axis=-1)
+    inside = d_out < 1e-9
+    n_out = delta / (d_out[:, None] + 1e-12)
+    gap = sb - jnp.abs(p)  # (P, 3) per-face distance when inside
+    ax = jnp.argmin(gap, axis=-1)
+    p_ax = jnp.take_along_axis(p, ax[:, None], -1)[:, 0]
+    sgn = jnp.where(p_ax >= 0, 1.0, -1.0)
+    n_in = jax.nn.one_hot(ax, 3) * sgn[:, None]
+    depth_in = r + jnp.take_along_axis(gap, ax[:, None], -1)[:, 0]
+    nrm_b = jnp.where(inside[:, None], n_in, n_out)
+    depth = jnp.where(inside, depth_in, r - d_out)
+    nrm_w = jnp.einsum("pij,pj->pi", R, nrm_b)
+    pts_w = pb + jnp.einsum("pij,pj->pi", R, clamped)
+    return depth, nrm_w, pts_w
+
+
+_BOX_CORNERS = np.array(
+    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+    np.float32,
+)  # (8, 3)
+
+
+def _box_corners_in_box(pa, qa, sa, pb, qb, sb):
+    """Corners of box a vs box b. Returns depth (P,8), world normal b->a side
+    (P,8,3), world points (P,8,3); depth>0 only when a corner is inside b."""
+    Ra = m3.quat_to_mat(qa)
+    Rb = m3.quat_to_mat(qb)
+    cw = pa[:, None, :] + jnp.einsum(
+        "pij,pkj->pki", Ra, _BOX_CORNERS[None] * sa[:, None, :]
+    )
+    p = jnp.einsum("pji,pkj->pki", Rb, cw - pb[:, None, :])  # corners in b frame
+    gap = sb[:, None, :] - jnp.abs(p)  # (P, 8, 3)
+    depth = jnp.min(gap, axis=-1)  # >0 iff inside
+    ax = jnp.argmin(gap, axis=-1)  # (P, 8)
+    p_ax = jnp.take_along_axis(p, ax[..., None], -1)[..., 0]
+    sgn = jnp.where(p_ax >= 0, 1.0, -1.0)
+    n_b = jax.nn.one_hot(ax, 3) * sgn[..., None]
+    n_w = jnp.einsum("pij,pkj->pki", Rb, n_b)
+    return depth, n_w, cw
 
 
 def _sphere_sphere(c1, r1, c2, r2, li, lj, mu):

@@ -229,7 +229,7 @@ def _joint_pose(model: Model, i: int, q: jax.Array):
     raise ValueError(t)
 
 
-def forward_kinematics(model: Model, q: jax.Array):
+def forward_kinematics(model: Model, q: jax.Array, link_pos_delta=None):
     """World poses via LEVEL-WISE propagation: joint poses for all links are
     built in a few type-batched ops, then composed down the tree in
     tree-depth (not link-count) sequential steps — the op count a TPU
@@ -264,6 +264,11 @@ def forward_kinematics(model: Model, q: jax.Array):
         jq = jq.at[i].set(q_i)
 
     off_p = jnp.asarray(model.link_pos)
+    if link_pos_delta is not None:
+        # per-env body-position offsets (randomized scenes, e.g. Adroit's
+        # object/door/board placement): an offset in the PARENT frame, the
+        # same effect as mutating mjModel.body_pos per episode
+        off_p = off_p + link_pos_delta
     off_q = jnp.asarray(model.link_quat)
     rel_p = off_p + m3.quat_rotate(off_q, jp)
     rel_q = m3.quat_mul(off_q, jq)
@@ -328,9 +333,9 @@ def _build_cdof(model: Model, pos, quat, origin) -> jax.Array:
 
 
 def compute_kinematics(
-    model: Model, state: PhysicsState, subspaces=None
+    model: Model, state: PhysicsState, subspaces=None, link_pos_delta=None
 ) -> Kinematics:
-    pos, quat, _ = forward_kinematics(model, state.q)
+    pos, quat, _ = forward_kinematics(model, state.q, link_pos_delta)
     origin = pos[0]
     cdof = _build_cdof(model, pos, quat, origin)
     tables = tree_tables(model)
@@ -453,15 +458,30 @@ def passive_forces(model: Model, state: PhysicsState) -> jax.Array:
         lo = jnp.asarray(model.jnt_range[li][sel, 0])
         hi = jnp.asarray(model.jnt_range[li][sel, 1])
         qs, qds = qi[sel], qdi[sel]
+        if model.dof_limit_stiffness is not None:
+            vsel = np.asarray(tables.hinge_slide_v)[sel]
+            k = jnp.asarray(model.dof_limit_stiffness[vsel])
+            c = jnp.asarray(model.dof_limit_damping[vsel])
+        else:
+            k, c = model.limit_stiffness, model.limit_damping
         viol = jnp.minimum(qs - lo, 0.0) + jnp.maximum(qs - hi, 0.0)
-        fl = -model.limit_stiffness * viol - jnp.where(
-            jnp.abs(viol) > 0, model.limit_damping * qds, 0.0
-        )
+        fl = -k * viol - jnp.where(jnp.abs(viol) > 0, c * qds, 0.0)
         f = f.at[sel].add(fl)
     return tau.at[jnp.asarray(tables.hinge_slide_v)].add(f)
 
 
-def actuation(model: Model, ctrl: jax.Array) -> jax.Array:
+def actuation(
+    model: Model, ctrl: jax.Array, state: Optional[PhysicsState] = None
+) -> jax.Array:
+    """Joint-transmission actuators. Torque motors by default; with
+    ``act_gainprm/act_biasprm`` set (bridge-loaded <general>/<position>
+    servos), applies MuJoCo's fixed-gain + affine-bias law (verified
+    numerically vs mujoco 3.10):
+
+        length = gear*q, velocity = gear*qd
+        force  = gainprm[0]*ctrl + b0 + b1*length + b2*velocity
+        tau   += gear * force
+    """
     tau = jnp.zeros(model.nv)
     if model.nu == 0:
         return tau
@@ -469,7 +489,87 @@ def actuation(model: Model, ctrl: jax.Array) -> jax.Array:
     hi = jnp.asarray(model.act_ctrlrange[:, 1])
     limited = jnp.asarray(model.act_ctrllimited) > 0
     c = jnp.where(limited, jnp.clip(ctrl, lo, hi), ctrl)
-    return tau.at[jnp.asarray(model.act_vadr)].add(jnp.asarray(model.act_gear) * c)
+    gear = jnp.asarray(model.act_gear)
+    if model.act_gainprm is None:
+        force = c
+    else:
+        q_i = state.q[jnp.asarray(model.act_qadr)]
+        qd_i = state.qd[jnp.asarray(model.act_vadr)]
+        gain = jnp.asarray(model.act_gainprm)
+        bias = jnp.asarray(model.act_biasprm)
+        force = (
+            gain[:, 0] * c
+            + bias[:, 0]
+            + bias[:, 1] * (gear * q_i)
+            + bias[:, 2] * (gear * qd_i)
+        )
+    return tau.at[jnp.asarray(model.act_vadr)].add(gear * force)
+
+
+def tendon_forces(model: Model, state: PhysicsState) -> jax.Array:
+    """Fixed-tendon passive forces: springs/dampers plus limit penalties on
+    the tendon length ``l = Jq @ q`` (Adroit's coupled-finger tendons are
+    limit-only). Projected back through ``Jv^T`` — two small matvecs."""
+    if model.tendon_Jq is None:
+        return jnp.zeros(model.nv)
+    Jq = jnp.asarray(model.tendon_Jq)
+    Jv = jnp.asarray(model.tendon_Jv)
+    length = Jq @ state.q
+    vel = Jv @ state.qd
+    f = -jnp.asarray(model.tendon_stiffness) * (
+        length - jnp.asarray(model.tendon_springlength)
+    ) - jnp.asarray(model.tendon_damping) * vel
+    lo = jnp.asarray(model.tendon_range[:, 0])
+    hi = jnp.asarray(model.tendon_range[:, 1])
+    if model.tendon_limit_stiffness is not None:
+        k = jnp.asarray(model.tendon_limit_stiffness)
+        c = jnp.asarray(model.tendon_limit_damping)
+    else:
+        k, c = model.limit_stiffness, model.limit_damping
+    viol = jnp.minimum(length - lo, 0.0) + jnp.maximum(length - hi, 0.0)
+    active = jnp.abs(viol) > 0
+    f_lim = -k * viol - jnp.where(active, c * vel, 0.0)
+    f = f + jnp.asarray(model.tendon_limited) * f_lim
+    return Jv.T @ f
+
+
+def scale_limit_penalties(
+    model: Model, omega: float = 60.0, zeta: float = 1.0
+) -> None:
+    """Set per-dof / per-tendon limit-penalty gains so every joint responds
+    to limit violation at the same frequency ``omega`` (rad/s) with damping
+    ratio ``zeta``: k_j = omega^2 M_jj(qpos0), c_j = 2 zeta omega M_jj.
+    Stability under the explicit substep requires omega*dt_sub << 2."""
+    state0 = PhysicsState(
+        q=jnp.asarray(model.default_qpos), qd=jnp.zeros(model.nv)
+    )
+    kin = compute_kinematics(model, state0)
+    Mdiag = np.asarray(jnp.diag(crba(model, kin))) + np.asarray(
+        model.dof_armature
+    )
+    model.dof_limit_stiffness = (omega**2 * Mdiag).astype(np.float32)
+    model.dof_limit_damping = (2.0 * zeta * omega * Mdiag).astype(np.float32)
+    if model.tendon_Jv is not None:
+        # reflected inertia of each tendon: 1 / (J M^-1 J^T) ~= via diagonal
+        Jv = model.tendon_Jv
+        inv = (Jv**2 / Mdiag[None, :]).sum(axis=1)
+        m_t = 1.0 / np.maximum(inv, 1e-12)
+        model.tendon_limit_stiffness = (omega**2 * m_t).astype(np.float32)
+        model.tendon_limit_damping = (2.0 * zeta * omega * m_t).astype(
+            np.float32
+        )
+
+
+def site_positions(model: Model, kin: Kinematics) -> jax.Array:
+    """World positions of all sites, (nsite, 3) (world-static sites pass
+    through unchanged)."""
+    from mjrl_tpu.physics import math3d as _m3
+
+    links = np.asarray(model.site_link, np.int32)
+    pos_all = jnp.concatenate([kin.pos, jnp.zeros((1, 3))], axis=0)
+    quat_all = jnp.concatenate([kin.quat, jnp.array([[1.0, 0, 0, 0]])], axis=0)
+    ix = np.where(links < 0, model.nlink, links)
+    return pos_all[ix] + _m3.quat_rotate(quat_all[ix], jnp.asarray(model.site_pos))
 
 
 def fluid_forces(model: Model, kin: Kinematics) -> jax.Array:
@@ -556,7 +656,9 @@ def forward_dynamics(
     dt = model.dt if dt is None else dt
     M = crba(model, kin)
     C = rnea_bias(model, kin, f_ext_world=f_ext_world)
-    tau = actuation(model, ctrl) + passive_forces(model, state)
+    tau = actuation(model, ctrl, state) + passive_forces(model, state)
+    if model.tendon_Jq is not None:
+        tau = tau + tendon_forces(model, state)
     damping = jnp.asarray(model.dof_damping)
     armature = jnp.asarray(model.dof_armature)
     rhs = tau - C - damping * state.qd
@@ -572,13 +674,14 @@ def step(
     ctrl: jax.Array,
     f_ext_world: Optional[jax.Array] = None,
     subspaces=None,
+    link_pos_delta=None,
 ) -> PhysicsState:
     """One dt (``model.n_substeps`` internal substeps)."""
     n = model.n_substeps
     dt = model.dt / n
 
     def substep(state, _):
-        kin = compute_kinematics(model, state)
+        kin = compute_kinematics(model, state, link_pos_delta=link_pos_delta)
         f_ext = f_ext_world
         if f_ext is None:
             if model.contact_pairs:

@@ -109,6 +109,23 @@ def quat_from_zaxis_angle_deg(euler: jax.Array) -> jax.Array:
     return quat_mul(qx, quat_mul(qy, qz))
 
 
+def quat_to_euler(q: jax.Array) -> jax.Array:
+    """Quaternion -> XYZ-extrinsic euler angles (gymnasium-robotics
+    ``rotations.quat2euler`` convention, used by hammer observations)."""
+    m = quat_to_mat(q)
+    cy = jnp.sqrt(m[..., 2, 2] ** 2 + m[..., 1, 2] ** 2)
+    eps = 1e-6
+    safe = cy > eps
+    x = jnp.where(
+        safe,
+        jnp.arctan2(-m[..., 1, 2], m[..., 2, 2]),
+        jnp.arctan2(m[..., 1, 0], m[..., 1, 1]),
+    )
+    y = jnp.arctan2(m[..., 0, 2], cy)
+    z = jnp.where(safe, jnp.arctan2(-m[..., 0, 1], m[..., 0, 0]), 0.0)
+    return jnp.stack([x, y, z], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Spatial transforms, factored as (E: 3x3 rotation, r: 3 translation).
 # x_B = E @ (x_A - r)

@@ -108,6 +108,40 @@ class Model:
     # --- fluid model (precomputed equivalent inertia boxes) ---
     link_ibox: Optional[np.ndarray] = None  # (nlink, 3) half-sizes
     link_iquat: Optional[np.ndarray] = None  # (nlink, 4) link->principal
+    # --- affine actuator gain/bias (MuJoCo <general>/<position> servos):
+    # force = gainprm[0]*ctrl + b0 + b1*(gear*q) + b2*(gear*qd); tau = gear*force.
+    # None => pure torque motors (force = ctrl), the pre-existing behavior.
+    act_gainprm: Optional[np.ndarray] = None  # (nu, 3)
+    act_biasprm: Optional[np.ndarray] = None  # (nu, 3)
+    act_qadr: Optional[np.ndarray] = None  # (nu,) qpos address of target joint
+    # --- fixed tendons (linear joint couplings; MuJoCo <tendon><fixed>):
+    # length = Jq @ qpos, velocity = Jv @ qvel, tau += Jv^T * f(length, vel)
+    tendon_Jq: Optional[np.ndarray] = None  # (ntendon, nq)
+    tendon_Jv: Optional[np.ndarray] = None  # (ntendon, nv)
+    tendon_range: Optional[np.ndarray] = None  # (ntendon, 2)
+    tendon_limited: Optional[np.ndarray] = None  # (ntendon,) 0/1
+    tendon_stiffness: Optional[np.ndarray] = None  # (ntendon,)
+    tendon_damping: Optional[np.ndarray] = None  # (ntendon,)
+    tendon_springlength: Optional[np.ndarray] = None  # (ntendon,)
+    # --- sites (world-pose markers used by task observations/rewards) ---
+    site_link: Tuple[int, ...] = ()  # -1 = world-static
+    site_pos: Optional[np.ndarray] = None  # (nsite, 3) in link frame
+    site_quat: Optional[np.ndarray] = None  # (nsite, 4)
+    site_name: Tuple[str, ...] = ()
+    # --- per-pair sliding-friction overrides (MuJoCo explicit <pair>
+    # elements / condim=1 frictionless pairs): {(gi, gj): mu} ---
+    pair_mu: Optional[Dict[Tuple[int, int], float]] = None
+    # --- per-dof / per-tendon limit-penalty gains. The scalar
+    # limit_stiffness/damping are fine for ~kg-scale locomotion links, but a
+    # dexterous hand mixes 4 kg arm dofs with 1e-5 kg m^2 fingertip dofs: a
+    # shared spring constant is either mush for the arm or violently
+    # unstable for the fingers. When set (see ``scale_limit_penalties``),
+    # k_j = omega^2 * M_jj(qpos0) gives every joint the same limit-response
+    # frequency. ---
+    dof_limit_stiffness: Optional[np.ndarray] = None  # (nv,)
+    dof_limit_damping: Optional[np.ndarray] = None  # (nv,)
+    tendon_limit_stiffness: Optional[np.ndarray] = None  # (ntendon,)
+    tendon_limit_damping: Optional[np.ndarray] = None  # (ntendon,)
     # --- options ---
     dt: float = 0.002
     # physics substeps per dt — penalty contacts need dt_sub small enough
@@ -126,6 +160,7 @@ class Model:
     limit_damping: float = 10.0
     # name maps for introspection / env reward code
     link_name: Tuple[str, ...] = ()
+    jnt_name: Tuple[str, ...] = ()  # per link; "" when jointless/unnamed
     qpos0: Optional[np.ndarray] = None  # reference configuration
 
     @property
