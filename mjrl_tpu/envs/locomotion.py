@@ -66,6 +66,11 @@ class LocomotionEnv(Env):
         )
         self.model.contact_depth_cap = 0.02
         self.subspaces = joint_subspaces(self.model)
+        from mjrl_tpu.physics.dispatch import make_frame_stepper
+
+        self._frame_step = make_frame_stepper(
+            self.model, self.frame_skip, subspaces=self.subspaces
+        )
         obs_dim = (self.model.nq - self.exclude_positions) + self.model.nv
         self.spec = EnvSpec(
             observation_dim=obs_dim,
@@ -101,8 +106,8 @@ class LocomotionEnv(Env):
 
     def step(self, ps: PhysicsState, action: jax.Array) -> StepResult:
         x_before = self._x_pos(ps)
-        for _ in range(self.frame_skip):
-            ps = physics_step(self.model, ps, action, subspaces=self.subspaces)
+        q2, qd2 = self._frame_step(ps.q, ps.qd, action)
+        ps = PhysicsState(q=q2, qd=qd2)
         x_after = self._x_pos(ps)
         dt = self.model.dt * self.frame_skip
         x_velocity = (x_after - x_before) / dt

@@ -442,7 +442,16 @@ def rnea_bias(
 
 
 def passive_forces(model: Model, state: PhysicsState) -> jax.Array:
-    """Joint springs + limit penalties, vectorized over the 1-dof joints."""
+    """Joint springs + limit penalties, vectorized over the 1-dof joints.
+
+    Limits are folded into full-width per-joint arrays (±1e30 sentinels for
+    unlimited joints make their violation exactly 0) instead of a
+    gather/scatter over the limited subset: one gather per state array, one
+    scatter at the end. The subset form compiled to a gather-of-a-gather
+    under vmap, which the experimental axon TPU backend miscompiles
+    (silently wrong limit torques; caught by the SoA parity sweep) — and
+    the masked full-width form is the better TPU program anyway.
+    """
     tables = tree_tables(model)
     tau = jnp.zeros(model.nv)
     if tables.hinge_slide_q.size == 0:
@@ -454,19 +463,21 @@ def passive_forces(model: Model, state: PhysicsState) -> jax.Array:
     springref = jnp.asarray(model.jnt_springref[li])
     f = -stiff * (qi - springref)
     if tables.limited_idx.size > 0:
-        sel = tables.limited_idx
-        lo = jnp.asarray(model.jnt_range[li][sel, 0])
-        hi = jnp.asarray(model.jnt_range[li][sel, 1])
-        qs, qds = qi[sel], qdi[sel]
+        limited = model.jnt_limited[li] > 0
+        lo = jnp.asarray(
+            np.where(limited, model.jnt_range[li][:, 0], -1e30).astype(np.float32)
+        )
+        hi = jnp.asarray(
+            np.where(limited, model.jnt_range[li][:, 1], 1e30).astype(np.float32)
+        )
+        hsv = np.asarray(tables.hinge_slide_v)
         if model.dof_limit_stiffness is not None:
-            vsel = np.asarray(tables.hinge_slide_v)[sel]
-            k = jnp.asarray(model.dof_limit_stiffness[vsel])
-            c = jnp.asarray(model.dof_limit_damping[vsel])
+            k = jnp.asarray(model.dof_limit_stiffness[hsv])
+            c = jnp.asarray(model.dof_limit_damping[hsv])
         else:
             k, c = model.limit_stiffness, model.limit_damping
-        viol = jnp.minimum(qs - lo, 0.0) + jnp.maximum(qs - hi, 0.0)
-        fl = -k * viol - jnp.where(jnp.abs(viol) > 0, c * qds, 0.0)
-        f = f.at[sel].add(fl)
+        viol = jnp.minimum(qi - lo, 0.0) + jnp.maximum(qi - hi, 0.0)
+        f = f - k * viol - jnp.where(jnp.abs(viol) > 0, c * qdi, 0.0)
     return tau.at[jnp.asarray(tables.hinge_slide_v)].add(f)
 
 
