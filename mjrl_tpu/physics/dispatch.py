@@ -14,7 +14,7 @@ reference per-env engine; under ``vmap`` its batching rule transposes to
 ``(rows, B)`` and runs the whole ``frame_skip x n_substeps`` window in one
 SoA pass (Pallas kernel on TPU backends, plain jit elsewhere).
 
-Models outside the SoA feature set (ball joints, tendons, fluid, box-box
+Models outside the SoA feature set (ball joints, tendons, box-box
 contacts — ``soa.soa_supported``) just return the per-env loop and vmap
 normally. Set ``MJRL_TPU_NO_SOA=1`` to force the fallback everywhere (A/B
 debugging).

@@ -72,16 +72,14 @@ _SUPPORTED_KINDS = {
 def soa_supported(model: Model) -> bool:
     """True if this model's features are covered by the SoA fast path.
 
-    Unsupported models (ball joints, tendons, fluid medium, box-box /
-    sphere-box contacts, link-mounted planes) fall back to the per-env
-    engine under vmap.
+    Unsupported models (ball joints, tendons, box-box / sphere-box
+    contacts, link-mounted planes) fall back to the per-env engine under
+    vmap.
     """
     for i in range(model.nlink):
         if model.link_jnt_type[i] not in (-1, FREE, HINGE, SLIDE):
             return False
     if model.tendon_Jq is not None:
-        return False
-    if model.density != 0.0 or model.viscosity != 0.0:
         return False
     for kind, tab in _pair_groups(model).kinds:
         if kind not in _SUPPORTED_KINDS:
@@ -632,6 +630,49 @@ def _contact_forces(model: Model, pos, quat, cvel, origin):
     return f_ext
 
 
+def _qrot_inv(q, v):
+    """Rotate by the conjugate quaternion (world -> body axes)."""
+    w, qv = q[0:1], -q[1:4]
+    t = 2.0 * _cross(qv, v)
+    return v + w * t + _cross(qv, t)
+
+
+def _fluid_forces(model: Model, pos, quat, cvel, origin, f_ext):
+    """MuJoCo's legacy inertia-box fluid model, batch-last (same formulas as
+    engine.fluid_forces, verified vs MuJoCo 3.x there). Adds per-link world
+    wrenches about ``origin`` into ``f_ext`` (dict l -> (6, B))."""
+    rho, mu = float(model.density), float(model.viscosity)
+    out = dict(f_ext) if f_ext is not None else {}
+    for i in range(model.nlink):
+        m = float(model.link_mass[i])
+        if m <= 0.0:
+            continue
+        # world -> principal-inertia frame of the body
+        q_wp = _qmul(quat[i], _c(model.link_iquat[i]))
+        com_w = pos[i] - origin + _qrot(quat[i], _c(model.link_com[i]))
+        omega_w = cvel[i][0:3]
+        v_com_w = cvel[i][3:6] + _cross(omega_w, com_w)
+        w_p = _qrot_inv(q_wp, omega_w)
+        v_p = _qrot_inv(q_wp, v_com_w)
+        b = np.asarray(model.link_ibox[i], np.float64)
+        b_j = b[[1, 2, 0]]
+        b_k = b[[2, 0, 1]]
+        d_eq = 2.0 * float(b.mean())
+        force = (
+            -3.0 * np.pi * d_eq * mu * v_p
+            - 2.0 * rho * _c(b_j * b_k) * jnp.abs(v_p) * v_p
+        )
+        torque = (
+            -np.pi * d_eq**3 * mu * w_p
+            - 0.5 * rho * _c(b * (b_j**4 + b_k**4)) * jnp.abs(w_p) * w_p
+        )
+        f_w = _qrot(q_wp, force)
+        t_w = _qrot(q_wp, torque)
+        wrench = jnp.concatenate([_cross(com_w, f_w) + t_w, f_w], axis=0)
+        out[i] = wrench if out.get(i) is None else out[i] + wrench
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Joint-space forces and integration.
 # ---------------------------------------------------------------------------
@@ -763,6 +804,8 @@ def substep(model: Model, q: jax.Array, qd: jax.Array, ctrl: jax.Array, dt: floa
             if model.contact_pairs
             else None
         )
+        if model.density != 0.0 or model.viscosity != 0.0:
+            f_ext = _fluid_forces(model, pos, quat, cvel, origin, f_ext)
         crb = _composite_inertias(model, tab, inert)
         M = _mass_matrix_sparse(model, tab, cdof, crb)
         C = _bias_forces(model, tab, cdof, cvel, inert, qd, f_ext)

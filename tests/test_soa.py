@@ -27,10 +27,10 @@ _slow = pytest.mark.skipif(
 ENVS = [
     "hopper",
     "ant",
+    "swimmer",  # cheap (nv=5, no contacts); covers the SoA fluid model
     pytest.param("walker2d", marks=_slow),
     pytest.param("half_cheetah", marks=_slow),
     pytest.param("humanoid", marks=_slow),
-    pytest.param("swimmer", marks=_slow),
 ]
 
 
