@@ -79,7 +79,7 @@ class LocomotionEnv(Env):
         )
 
     # -- gym-v4 conventions --------------------------------------------------
-    def _obs(self, ps: PhysicsState) -> jax.Array:
+    def _obs(self, ps: PhysicsState, action=None) -> jax.Array:
         qvel = ps.qd
         if self.clip_qvel_obs is not None:
             qvel = jnp.clip(qvel, -self.clip_qvel_obs, self.clip_qvel_obs)
@@ -120,7 +120,7 @@ class LocomotionEnv(Env):
         )
         terminated = jnp.logical_not(healthy)
         info: Dict[str, jax.Array] = {"x_velocity": x_velocity}
-        return ps, self._obs(ps), reward, terminated, info
+        return ps, self._obs(ps, action), reward, terminated, info
 
 
 class HopperEnv(LocomotionEnv):
@@ -204,11 +204,11 @@ class HumanoidEnv(LocomotionEnv):
     Reward/termination follow gymnasium humanoid_v4 (forward_reward_weight
     1.25 on the CENTER-OF-MASS x velocity, healthy_reward 5.0, ctrl cost
     0.1, healthy z in (1.0, 2.0); the tiny v4 contact cost is omitted —
-    contact forces here come from the penalty model). Observation is the
-    compact [qpos[2:], qvel] (45-dim) rather than gym's 376-dim stack of
-    cinert/cvel/qfrc/cfrc features; the policy-relevant state is identical
-    and the extended observation is planned (model compilation already
-    matches MuJoCo to 1e-6 — see tests).
+    contact forces here come from the penalty model). The default
+    observation is gym's full 376-dim stack [qpos[2:], qvel, cinert, cvel,
+    qfrc_actuator, cfrc_ext] (com-based features parity-tested vs CPU
+    MuJoCo in tests/test_comfeat.py; cfrc_ext uses our penalty contact
+    wrenches). ``obs_mode="compact"`` keeps the 45-dim [qpos[2:], qvel].
     """
 
     asset = "humanoid.xml"
@@ -220,6 +220,36 @@ class HumanoidEnv(LocomotionEnv):
     exclude_positions = 2
     clip_qvel_obs = None
     n_substeps = 2  # dt=0.003 with ~0.5kg hands: finer contact substep
+
+    def __init__(self, horizon: int = 1000, asset_path=None, obs_mode="gym"):
+        super().__init__(horizon=horizon, asset_path=asset_path)
+        self.obs_mode = obs_mode
+        if obs_mode == "gym":
+            from mjrl_tpu.physics.comfeat import body_links
+
+            nb = body_links(self.model).size + 1  # + world row
+            self.spec = EnvSpec(
+                observation_dim=self.spec.observation_dim + 22 * nb + self.model.nv,
+                action_dim=self.spec.action_dim,
+                horizon=self.spec.horizon,
+            )
+
+    def _obs(self, ps: PhysicsState, action=None) -> jax.Array:
+        base = super()._obs(ps)
+        if self.obs_mode != "gym":
+            return base
+        from mjrl_tpu.physics.comfeat import com_features
+        from mjrl_tpu.physics.contact import contact_forces
+        from mjrl_tpu.physics.engine import compute_kinematics
+
+        kin = compute_kinematics(self.model, ps)
+        f_ext = contact_forces(self.model, kin) if self.model.contact_pairs else None
+        cinert, cvel, qfrc_act, cfrc = com_features(
+            self.model, kin, ps, action, f_ext_world=f_ext
+        )
+        return jnp.concatenate(
+            [base, cinert.ravel(), cvel.ravel(), qfrc_act, cfrc.ravel()]
+        )
 
     def _healthy(self, ps: PhysicsState) -> jax.Array:
         z = ps.q[2]
