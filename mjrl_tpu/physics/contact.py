@@ -123,6 +123,13 @@ def _penalty_forces(model, depth, n, points, v_rel, mu):
         0.0, model.contact_stiffness * depth_eff - model.contact_damping * v_n
     )
     fn = jnp.where(depth > 0.0, fn, 0.0)
+    if model.contact_force_cap_ratio > 0:
+        fn = jnp.minimum(
+            fn,
+            model.contact_force_cap_ratio
+            * model.contact_stiffness
+            * model.contact_depth_cap,
+        )
     vt_norm = jnp.linalg.norm(v_t, axis=-1, keepdims=True)
     ft = -mu[:, None] * fn[:, None] * v_t / (vt_norm + model.friction_vel)
     return fn[:, None] * n + ft

@@ -155,6 +155,13 @@ class Model:
     contact_stiffness: float = 10_000.0
     contact_damping: float = 100.0
     contact_depth_cap: float = 0.02  # clamp spring term: k * min(depth, cap)
+    # Normal-force ceiling, as a multiple of the saturated spring force
+    # k*cap. The damping term k_d*v_n is unbounded in approach speed; with
+    # dt*k_d/m > 2 for a light link the explicit contact force is
+    # explosively unstable (one fast deep impact -> inf in ~15 substeps).
+    # MuJoCo's constraint solver bounds contact impulses; this cap is the
+    # penalty-model analogue. <= 0 disables.
+    contact_force_cap_ratio: float = 4.0
     friction_vel: float = 0.1
     limit_stiffness: float = 500.0
     limit_damping: float = 10.0

@@ -530,6 +530,10 @@ def _contact_forces(model: Model, pos, quat, cvel, origin):
         v_t = v_rel - v_n * n
         fn = jnp.maximum(0.0, ks * jnp.minimum(depth, cap) - kd * v_n)
         fn = jnp.where(depth > 0.0, fn, 0.0)
+        if model.contact_force_cap_ratio > 0:
+            fn = jnp.minimum(
+                fn, np.float32(model.contact_force_cap_ratio) * ks * cap
+            )
         vt_norm = jnp.sqrt(_dot(v_t, v_t))
         f = fn * n - np.float32(mu) * fn * v_t / (vt_norm + vreg)
         wrench = jnp.concatenate([_cross(p_rel, f), f], axis=0)
