@@ -65,6 +65,16 @@ class LocomotionEnv(Env):
             _np.sqrt(self.model.contact_stiffness * total_mass / 4.0)
         )
         self.model.contact_depth_cap = 0.02
+        # Per-dof critically-damped limit-penalty gains (k = w^2 M_jj,
+        # c = 2 w M_jj). The scalar defaults (k=500, c=10) are explosively
+        # unstable on light limbs: the limit damping integrates EXPLICITLY,
+        # so dt*c/M_jj > 2 (ant's 0.03 kg-m^2 ankles) oscillates to blowup —
+        # ants got kicked airborne at reset (gym ant's ankles start outside
+        # their range) and died in ~16 steps. MuJoCo instead settles them
+        # smoothly into range; with scaled gains so do we.
+        from mjrl_tpu.physics.engine import scale_limit_penalties
+
+        scale_limit_penalties(self.model, omega=60.0)
         self.subspaces = joint_subspaces(self.model)
         from mjrl_tpu.physics.dispatch import make_frame_stepper
 

@@ -21,3 +21,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: physics substeps are large traced programs
+# (seconds to minutes of XLA:CPU compile each); caching them makes repeat
+# suite runs minutes faster. Keyed on jaxlib version + HLO, so stale
+# entries are never reused.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
