@@ -129,8 +129,10 @@ def test_entry_compiles():
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
-    mean, log_std = jax.block_until_ready(out)
-    assert mean.shape == (4096, 2)
+    state2, obs2, reward, done = jax.block_until_ready(out)
+    num_envs = reward.shape[0]
+    assert obs2.shape[0] == num_envs and done.shape == (num_envs,)
+    assert bool(jnp.all(jnp.isfinite(reward)))
 
 
 def test_config_mesh_devices_builds_sharded_agent():
