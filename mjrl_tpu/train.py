@@ -11,7 +11,7 @@ import argparse
 import json
 import os
 
-from mjrl_tpu.utils.configs import RunConfig, build
+from mjrl_tpu.utils.configs import RunConfig, build, warm_start
 from mjrl_tpu.utils.train_agent import train_agent
 
 
@@ -40,7 +40,10 @@ def main() -> None:
             raw[k] = v
     cfg = RunConfig.from_dict(raw)
     cfg.to_json(os.path.join(args.output, "config.json"))
-    _, _, _, agent = build(cfg)
+    _, policy, _, agent = build(cfg)
+    init_state = None
+    if cfg.bc_init:
+        init_state = warm_start(cfg, agent, policy, seed=cfg.seed)
     train_agent(
         args.output,
         agent,
@@ -49,6 +52,7 @@ def main() -> None:
         save_freq=cfg.save_freq,
         evaluation_rollouts=cfg.evaluation_rollouts,
         plot_keys=cfg.plot_keys,
+        init_state=init_state,
     )
 
 

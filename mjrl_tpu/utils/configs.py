@@ -67,6 +67,12 @@ class RunConfig:
     gamma: float = 0.995
     gae_lambda: Optional[float] = 0.97
     agent_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # demonstrations (DAPG stage 2 / BC warm start — reference:
+    # mjrl/algos/dapg.py ctor demo_paths + hand_dapg job scripts, which load
+    # a pickled list of path dicts and run BC before DAPG)
+    demo_file: Optional[str] = None
+    bc_init: bool = False
+    bc_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
     # parallelism: shard the env axis over this many devices (0 = single)
     mesh_devices: int = 0
     # harness
@@ -105,6 +111,11 @@ def build(cfg: RunConfig):
 
         mesh = make_mesh(cfg.mesh_devices)
     env = envs.make(cfg.env_name, **cfg.env_kwargs)
+    demo_batch = None
+    if cfg.demo_file is not None:
+        from mjrl_tpu.utils.demos import load_demo_pickle
+
+        demo_batch = load_demo_pickle(cfg.demo_file)
     pol_cls = POLICIES[cfg.policy]
     pol_kwargs: Dict[str, Any] = dict(
         min_log_std=cfg.min_log_std, init_log_std=cfg.init_log_std
@@ -113,6 +124,11 @@ def build(cfg: RunConfig):
         pol_kwargs["hidden_sizes"] = cfg.hidden_sizes
     policy = pol_cls(env.spec, **pol_kwargs)
     baseline = BASELINES[cfg.baseline](env.spec, **cfg.baseline_kwargs)
+    agent_kwargs = dict(cfg.agent_kwargs)
+    if cfg.algorithm == "dapg":
+        if demo_batch is None:
+            raise ValueError("algorithm 'dapg' requires demo_file")
+        agent_kwargs["demo_batch"] = demo_batch
     agent = ALGOS[cfg.algorithm](
         env,
         policy,
@@ -124,6 +140,34 @@ def build(cfg: RunConfig):
         gamma=cfg.gamma,
         gae_lambda=cfg.gae_lambda,
         mesh=mesh,
-        **cfg.agent_kwargs,
+        **agent_kwargs,
     )
     return env, policy, baseline, agent
+
+
+def warm_start(cfg: RunConfig, agent, policy, seed: int = 0):
+    """BC warm start (DAPG stage 1): returns the agent's initial state with
+    policy params/transforms fit to the demos (reference: BC.train() before
+    DAPG iterations in the hand_dapg job scripts)."""
+    import jax
+
+    from mjrl_tpu.algos.bc import BC
+    from mjrl_tpu.utils.demos import load_demo_pickle
+
+    if cfg.demo_file is None:
+        raise ValueError("bc_init requires demo_file")
+    demo_batch = load_demo_pickle(cfg.demo_file)
+    bc = BC(demo_batch, policy, **cfg.bc_kwargs)
+    state = agent.init(jax.random.PRNGKey(seed))
+    params, transforms, metrics = jax.jit(bc.train)(
+        state.params, state.transforms, jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+    )
+    print(
+        f"BC warm start: loss {float(metrics['loss_before']):.5f} -> "
+        f"{float(metrics['loss_after']):.5f}"
+    )
+    return state.replace(
+        params=params,
+        old_params=jax.tree.map(jax.numpy.copy, params),
+        transforms=transforms,
+    )

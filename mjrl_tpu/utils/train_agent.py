@@ -51,13 +51,18 @@ def train_agent(
     profile_iters: int = 3,
     max_retries: int = 3,
     retry_backoff_s: float = 5.0,
+    init_state=None,
 ) -> None:
     os.makedirs(job_name, exist_ok=True)
     logdir = os.path.join(job_name, "logs")
     logger = DataLog(logdir)
     ckpt = CheckpointManager(job_name)
 
-    state = agent.init(jax.random.PRNGKey(seed))
+    # init_state lets a warm start (e.g. BC on demos, DAPG stage 1) seed the
+    # run; a checkpoint restore still wins so resume keeps RL progress.
+    state = init_state if init_state is not None else agent.init(
+        jax.random.PRNGKey(seed)
+    )
     start_iter = 0
     if resume:
         restored = ckpt.restore_latest(jax.device_get(state))

@@ -1,0 +1,82 @@
+"""End-to-end config-driven DAPG pipeline: demos -> BC warm start -> DAPG.
+
+Covers the reference's hand_dapg job flow (reference: mjrl DAPG job scripts —
+load demo pickle, BC.train(), then DAPG.train_step iterations) through this
+framework's RunConfig / build / warm_start / train_agent path.
+"""
+
+import json
+import os
+import pickle
+
+import jax
+import numpy as np
+import pytest
+
+from mjrl_tpu import envs
+from mjrl_tpu.models import GaussianMLP
+from mjrl_tpu.samplers.rollout import sample_episodes
+from mjrl_tpu.utils.configs import RunConfig, build, warm_start
+from mjrl_tpu.utils.demos import batch_to_paths
+from mjrl_tpu.utils.train_agent import train_agent
+
+
+@pytest.fixture(scope="module")
+def demo_pickle(tmp_path_factory):
+    """Demo pickle from a scripted point_mass policy (mean-action rollouts
+    of a small random MLP are fine for exercising the plumbing)."""
+    env = envs.make("point_mass")
+    pol = GaussianMLP(env.spec, hidden_sizes=(8,))
+    params = pol.init(jax.random.PRNGKey(7))
+    batch = sample_episodes(
+        env, pol, params, pol.init_transforms(), jax.random.PRNGKey(8), 6
+    )
+    paths = batch_to_paths(jax.device_get(batch))
+    p = tmp_path_factory.mktemp("demos") / "pm.pickle"
+    with open(p, "wb") as f:
+        pickle.dump(paths, f)
+    return str(p)
+
+
+def test_dapg_requires_demos():
+    cfg = RunConfig(env_name="point_mass", algorithm="dapg", num_traj=4)
+    with pytest.raises(ValueError, match="demo_file"):
+        build(cfg)
+
+
+def test_config_dapg_pipeline(demo_pickle, tmp_path):
+    cfg = RunConfig(
+        env_name="point_mass",
+        algorithm="dapg",
+        baseline="quadratic",
+        num_traj=8,
+        niter=2,
+        demo_file=demo_pickle,
+        bc_init=True,
+        bc_kwargs={"epochs": 2, "batch_size": 32, "loss_type": "MSE"},
+        agent_kwargs={"lam_0": 1.0, "lam_1": 0.9},
+        save_freq=1,
+    )
+    _, policy, _, agent = build(cfg)
+    assert agent.demo_batch is not None
+
+    state0 = agent.init(jax.random.PRNGKey(0))
+    state = warm_start(cfg, agent, policy, seed=0)
+    # BC installed demo-derived transforms (reference: set_transformations)
+    assert not np.allclose(
+        np.asarray(state.transforms["in_shift"]),
+        np.asarray(state0.transforms["in_shift"]),
+    )
+
+    job = str(tmp_path / "dapg_job")
+    train_agent(job, agent, niter=2, save_freq=1, print_table=False,
+                init_state=state)
+    rows = [
+        json.loads(line)
+        for line in open(os.path.join(job, "logs", "log.jsonl"))
+    ]
+    assert len(rows) == 2
+    assert np.isfinite(rows[-1]["running_score"])
+    assert "demo_coef" in rows[-1]
+    # demo advantage decays with iteration k: lam_0 * lam_1^k
+    assert rows[1]["demo_coef"] < rows[0]["demo_coef"]
