@@ -123,14 +123,29 @@ class LocomotionEnv(Env):
         x_velocity = (x_after - x_before) / dt
         ctrl_cost = self.ctrl_cost_weight * jnp.sum(jnp.square(action))
         healthy = self._healthy(ps)
+        # Blow-up guard: penalty physics can diverge under degenerate inputs
+        # where MuJoCo's constraint solver cannot; a diverged state must
+        # terminate with a sane reward or NaN/1e6-scale garbage poisons the
+        # returns of the whole batch. (Real MuJoCo never reaches this — gym
+        # has no equivalent check because it needs none.)
+        sane = (
+            jnp.all(jnp.isfinite(ps.q))
+            & jnp.all(jnp.isfinite(ps.qd))
+            & (jnp.max(jnp.abs(ps.qd)) < 1e4)
+        )
+        healthy = healthy & sane
         reward = (
             self.forward_reward_weight * x_velocity
             - ctrl_cost
             + self.healthy_reward * healthy.astype(x_velocity.dtype)
         )
+        reward = jnp.where(sane, reward, 0.0)
         terminated = jnp.logical_not(healthy)
         info: Dict[str, jax.Array] = {"x_velocity": x_velocity}
-        return ps, self._obs(ps, action), reward, terminated, info
+        obs = self._obs(ps, action)
+        # non-finite obs would ride through valid-masked losses as 0*nan=nan
+        obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
+        return ps, obs, reward, terminated, info
 
 
 class HopperEnv(LocomotionEnv):

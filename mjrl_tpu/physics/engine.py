@@ -481,6 +481,39 @@ def passive_forces(model: Model, state: PhysicsState) -> jax.Array:
     return tau.at[jnp.asarray(tables.hinge_slide_v)].add(f)
 
 
+def limit_damping_diag(model: Model, q: jax.Array) -> jax.Array:
+    """(nv,) active limit-damping coefficients — the IMPLICIT-diagonal part
+    of the limit penalty.
+
+    ``passive_forces`` applies ``-c*qd_t`` when a joint violates its range;
+    adding ``dt*c`` to the solve diagonal turns that damper semi-implicit
+    (f = -c*qd_{t+1}), which is unconditionally stable no matter how large
+    ``c`` is. Explicit limit damping blows up fast light limbs (humanoid
+    hips/knees reach |qd|~80 under random torque, then the velocity-
+    quadratic bias runs away within a frame); MuJoCo's limits are solver
+    constraints and never face this."""
+    tables = tree_tables(model)
+    diag = jnp.zeros(model.nv)
+    if tables.hinge_slide_q.size == 0 or tables.limited_idx.size == 0:
+        return diag
+    qi = q[jnp.asarray(tables.hinge_slide_q)]
+    li = tables.hinge_slide_link
+    limited = model.jnt_limited[li] > 0
+    lo = jnp.asarray(
+        np.where(limited, model.jnt_range[li][:, 0], -1e30).astype(np.float32)
+    )
+    hi = jnp.asarray(
+        np.where(limited, model.jnt_range[li][:, 1], 1e30).astype(np.float32)
+    )
+    hsv = np.asarray(tables.hinge_slide_v)
+    if model.dof_limit_stiffness is not None:
+        c = jnp.asarray(model.dof_limit_damping[hsv])
+    else:
+        c = jnp.full(hsv.shape, model.limit_damping, jnp.float32)
+    viol = jnp.minimum(qi - lo, 0.0) + jnp.maximum(qi - hi, 0.0)
+    return diag.at[hsv].add(jnp.where(jnp.abs(viol) > 0, c, 0.0))
+
+
 def actuation(
     model: Model, ctrl: jax.Array, state: Optional[PhysicsState] = None
 ) -> jax.Array:
@@ -673,7 +706,11 @@ def forward_dynamics(
     damping = jnp.asarray(model.dof_damping)
     armature = jnp.asarray(model.dof_armature)
     rhs = tau - C - damping * state.qd
-    A = M + jnp.diag(armature + dt * damping)
+    # dt*damping and dt*limit_damping on the diagonal make the joint and
+    # limit dampers semi-implicit (their explicit -c*qd_t parts are in rhs)
+    A = M + jnp.diag(
+        armature + dt * (damping + limit_damping_diag(model, state.q))
+    )
     from mjrl_tpu.ops.smallchol import chol_solve_small
 
     return chol_solve_small(A, rhs)

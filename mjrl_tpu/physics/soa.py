@@ -433,9 +433,12 @@ def _bias_forces(model: Model, tab: _SoATables, cdof, cvel, inert, qd, f_ext):
     return jnp.concatenate(rows, axis=0)
 
 
-def _ltdl_solve(model: Model, tab: _SoATables, M, rhs, dt: float):
-    """Solve (M + diag(armature + dt*damping)) x = rhs via sparse LTDL
-    (Featherstone RBDA §6.5: fill-in stays on ancestor chains)."""
+def _ltdl_solve(model: Model, tab: _SoATables, M, rhs, dt: float,
+                extra_diag=None):
+    """Solve (M + diag(armature + dt*damping [+ extra])) x = rhs via sparse
+    LTDL (Featherstone RBDA §6.5: fill-in stays on ancestor chains).
+    ``extra_diag`` is an optional per-dof list of state-dependent (1, B)
+    diagonal additions (the implicit limit-damping terms)."""
     nv = model.nv
     lam = tab.lam
     H = dict(M)
@@ -445,6 +448,8 @@ def _ltdl_solve(model: Model, tab: _SoATables, M, rhs, dt: float):
     for k in range(nv):
         if extra[k] != 0.0:
             H[(k, k)] = H[(k, k)] + np.float32(extra[k])
+        if extra_diag is not None and extra_diag[k] is not None:
+            H[(k, k)] = H[(k, k)] + extra_diag[k]
     L: Dict[Tuple[int, int], jax.Array] = {}
     D = [None] * nv
     for k in reversed(range(nv)):
@@ -746,6 +751,29 @@ def _applied_forces(model: Model, tab: _SoATables, q, qd, ctrl):
     )
 
 
+def _limit_damping_rows(model: Model, q, dt: float):
+    """Per-dof dt*c_limit*active (1, B) rows (or None) — the implicit-
+    diagonal half of the limit damper (engine.limit_damping_diag twin)."""
+    rows: List = [None] * model.nv
+    for i in range(model.nlink):
+        if model.link_jnt_type[i] not in (HINGE, SLIDE):
+            continue
+        if model.jnt_limited[i] <= 0:
+            continue
+        adr, v = model.link_qadr[i], model.link_vadr[i]
+        qi = q[adr : adr + 1]
+        lo, hi = model.jnt_range[i]
+        if model.dof_limit_stiffness is not None:
+            c = np.float32(model.dof_limit_damping[v])
+        else:
+            c = np.float32(model.limit_damping)
+        viol = jnp.minimum(qi - np.float32(lo), 0.0) + jnp.maximum(
+            qi - np.float32(hi), 0.0
+        )
+        rows[v] = jnp.where(jnp.abs(viol) > 0, np.float32(dt) * c, np.float32(0))
+    return rows
+
+
 def _integrate(model: Model, q, qd, qdd, dt: float):
     """Semi-implicit Euler with exponential-map quaternion updates."""
     dt = np.float32(dt)
@@ -816,7 +844,9 @@ def substep(model: Model, q: jax.Array, qd: jax.Array, ctrl: jax.Array, dt: floa
         tau = _applied_forces(model, tab, q, qd, ctrl)
         damping = _c(model.dof_damping)
         rhs = tau - C - damping * qd
-        qdd = _ltdl_solve(model, tab, M, rhs, dt)
+        qdd = _ltdl_solve(
+            model, tab, M, rhs, dt, _limit_damping_rows(model, q, dt)
+        )
         return _integrate(model, q, qd, qdd, dt)
     finally:
         _LANES = prev_lanes
