@@ -50,9 +50,17 @@ class LocomotionEnv(Env):
     clip_qvel_obs: Optional[float] = 10.0
     n_substeps: int = 1  # physics substeps per model dt (penalty stability)
 
-    def __init__(self, horizon: int = 1000, asset_path: Optional[str] = None):
+    def __init__(
+        self,
+        horizon: int = 1000,
+        asset_path: Optional[str] = None,
+        constraint_solver: str = "penalty",
+    ):
         self.model = load_mjcf(asset_path or _asset_path(self.asset))
         self.model.n_substeps = self.n_substeps
+        # 'newton' = MuJoCo-parity soft-constraint contacts/limits
+        # (physics/csolve.py, engine path); 'penalty' = the TPU fast path
+        self.model.constraint_solver = constraint_solver
         # Auto-tune penalty contact params to the model's scale: full body
         # weight on one contact compresses ~2mm; spring force saturates at
         # depth_cap; near-critical damping vs a quarter of the body mass.

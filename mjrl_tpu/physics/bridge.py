@@ -213,6 +213,45 @@ def model_from_mujoco(m) -> Model:
     model = b.finalize(explicit_pairs=pairs)
     model.pair_mu = pair_mu or None
 
+    # -- soft-constraint solver parameters (csolve.py): straight copies of
+    #    the compiled model's solref/solimp/margin/invweight0 fields --------
+    jnt_solref = np.tile(np.array([0.02, 1.0], np.float32), (model.nlink, 1))
+    jnt_solimp = np.tile(
+        np.array([0.9, 0.95, 0.001, 0.5, 2.0], np.float32), (model.nlink, 1)
+    )
+    for j, link in jnt_to_link.items():
+        jnt_solref[link] = m.jnt_solref[j]
+        jnt_solimp[link] = m.jnt_solimp[j]
+    model.jnt_solref = jnt_solref
+    model.jnt_solimp = jnt_solimp
+    ngeom = model.ngeom
+    geom_solref = np.tile(np.array([0.02, 1.0], np.float32), (ngeom, 1))
+    geom_solimp = np.tile(
+        np.array([0.9, 0.95, 0.001, 0.5, 2.0], np.float32), (ngeom, 1)
+    )
+    geom_margin = np.zeros(ngeom, np.float32)
+    geom_condim = np.full(ngeom, 3, np.int32)
+    geom_invw = np.zeros(ngeom, np.float32)
+    for mj_g, our_g in geom_map.items():
+        geom_solref[our_g] = m.geom_solref[mj_g]
+        geom_solimp[our_g] = m.geom_solimp[mj_g]
+        geom_margin[our_g] = m.geom_margin[mj_g]
+        geom_condim[our_g] = m.geom_condim[mj_g]
+        geom_invw[our_g] = m.body_invweight0[int(m.geom_bodyid[mj_g]), 0]
+    model.geom_solref = geom_solref
+    model.geom_solimp = geom_solimp
+    model.geom_margin = geom_margin
+    model.geom_condim = geom_condim
+    model.geom_invweight0 = geom_invw
+    model.dof_invweight0 = np.asarray(m.dof_invweight0, np.float32)
+    pair_condim = {}
+    for p in range(m.npair):
+        gi, gj = int(m.pair_geom1[p]), int(m.pair_geom2[p])
+        if gi in geom_map and gj in geom_map:
+            key = _norm(gi, gj)
+            pair_condim[(geom_map[key[0]], geom_map[key[1]])] = int(m.pair_dim[p])
+    model.pair_condim = pair_condim or None
+
     # -- qpos0 (MuJoCo's reference configuration, free poses included) -------
     qpos0 = model.default_qpos.copy()
     qpos0[:] = np.asarray(m.qpos0, np.float32)

@@ -1,0 +1,434 @@
+"""MuJoCo-style soft-constraint solver (Newton on the primal problem).
+
+This is the parity-grade alternative to the penalty contact/limit model
+(physics/contact.py): joint limits and contacts become one-sided soft
+constraints with MuJoCo's exact solref/solimp semantics, solved by a
+fixed-iteration Newton method on
+
+    cost(x) = 1/2 (x - qdd0)^T M (x - qdd0)
+            + 1/2 sum_i active_i * D_i * (J_i x - aref_i)^2,
+
+the convex primal form of MuJoCo's constraint optimization (docs:
+Computation / Solver; row i is active iff its constraint-space acceleration
+``jar_i = J_i x - aref_i`` is negative). All constraint-row formulas were
+calibrated numerically against mujoco 3.10's ``efc_*`` arrays (see
+tests/test_csolve.py):
+
+- impedance d(pos) from solimp = (dmin, dmax, width, mid, power),
+- k = 1/(dmax^2 tc^2 dr^2), b = 2/(dmax tc) from solref = (tc, dr),
+- aref = -b * (J qvel) - k * d(pos) * pos,  pos = dist - margin,
+- R_limit        = (1-d)/d * dof_invweight0,
+- R_frictionless = (1-d)/d * (invw_i + invw_j),
+- R_pyramidal    = (1-d)/d * (invw_i + invw_j) * 2 mu^2 (1 + mu^2),
+- pyramid rows J = (n ± mu t_{1,2})^T J_point  (condim 3).
+
+Everything is fixed-shape: ALL candidate contact points and ALL limited
+joints are rows at every step; rows far from violation get a large positive
+``jar`` and deactivate themselves, exactly like MuJoCo's active-set logic.
+
+Reference parity target: mujoco.mj_forward's qacc (same state, ctrl) with
+the default pyramidal cone + Newton solver. The reference framework reaches
+this machinery through mujoco_py's env.step (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjrl_tpu.physics import math3d as m3
+from mjrl_tpu.physics.engine import (
+    Kinematics,
+    PhysicsState,
+    compute_kinematics,
+    crba,
+    rnea_bias,
+    actuation,
+    tree_tables,
+    _link_ancestor_matrix,
+)
+from mjrl_tpu.physics.model import Model
+
+_DEF_SOLREF = np.array([0.02, 1.0], np.float32)
+_DEF_SOLIMP = np.array([0.9, 0.95, 0.001, 0.5, 2.0], np.float32)
+_MINVAL = 1e-10
+
+
+# ---------------------------------------------------------------------------
+# Lazy solver-parameter defaults + invweight0 computation (trace-time numpy).
+# ---------------------------------------------------------------------------
+
+
+def ensure_solver_params(model: Model) -> None:
+    """Fill MuJoCo-default solref/solimp/margin and compute invweight0
+    arrays at qpos0 (dof_invweight0 = diag(M^-1); geom_invweight0 =
+    tr(Jp M^-1 Jp^T)/3 at the owning body frame — both verified equal to
+    MuJoCo's precomputed fields on the gym assets)."""
+    if getattr(model, "_solver_ready", False):
+        return
+    if model.jnt_solref is None:
+        model.jnt_solref = np.tile(_DEF_SOLREF, (model.nlink, 1))
+    if model.jnt_solimp is None:
+        model.jnt_solimp = np.tile(_DEF_SOLIMP, (model.nlink, 1))
+    if model.geom_solref is None:
+        model.geom_solref = np.tile(_DEF_SOLREF, (model.ngeom, 1))
+    if model.geom_solimp is None:
+        model.geom_solimp = np.tile(_DEF_SOLIMP, (model.ngeom, 1))
+    if model.geom_margin is None:
+        model.geom_margin = np.zeros(model.ngeom, np.float32)
+    if model.dof_invweight0 is None or model.geom_invweight0 is None:
+        # may be reached lazily during a jit trace: force eager evaluation
+        # (these are load-time constants, not traced state)
+        with jax.ensure_compile_time_eval():
+            _compute_invweights(model)
+    model._solver_ready = True
+
+
+def _compute_invweights(model: Model) -> None:
+    if True:
+        q0 = jnp.asarray(model.default_qpos)
+        state0 = PhysicsState(q=q0, qd=jnp.zeros(model.nv))
+        kin = compute_kinematics(model, state0)
+        M = np.asarray(crba(model, kin), np.float64)
+        M = M + np.diag(np.asarray(model.dof_armature, np.float64))
+        Minv = np.linalg.inv(M)
+        if model.dof_invweight0 is None:
+            model.dof_invweight0 = np.diag(Minv).astype(np.float32)
+        if model.geom_invweight0 is None:
+            anc = np.asarray(_link_ancestor_matrix(model))  # (nlink, nv)
+            pos = np.asarray(kin.pos)
+            quat = np.asarray(kin.quat)
+            origin = np.asarray(kin.origin)
+            cdof = np.asarray(kin.cdof, np.float64)  # (nv, 6) [ang; lin@origin]
+            inv_g = np.zeros(model.ngeom, np.float32)
+            for g in range(model.ngeom):
+                l = model.geom_link[g]
+                if l < 0:
+                    inv_g[g] = 0.0  # world-static
+                    continue
+                # body-frame point: MuJoCo uses the body COM
+                p = pos[l] + _rot_np(quat[l], np.asarray(model.link_com[l]))
+                r = p - origin
+                Jp = np.zeros((3, model.nv))
+                for j in range(model.nv):
+                    if anc[l, j] > 0:
+                        w, v = cdof[j, :3], cdof[j, 3:]
+                        Jp[:, j] = v + np.cross(w, r)
+                inv_g[g] = float(np.trace(Jp @ Minv @ Jp.T) / 3.0)
+            model.geom_invweight0 = inv_g
+    model._solver_ready = True
+
+
+def _rot_np(q, v):
+    w, x, y, z = q
+    R = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+    return R @ np.asarray(v)
+
+
+# ---------------------------------------------------------------------------
+# Row building.
+# ---------------------------------------------------------------------------
+
+
+class Rows(NamedTuple):
+    J: jax.Array  # (nrows, nv)
+    aref: jax.Array  # (nrows,)
+    D: jax.Array  # (nrows,) = 1/R
+
+
+def _impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
+    """MuJoCo impedance spline d(|pos|/width); solimp (rows, 5)."""
+    dmin, dmax, width, mid, power = (solimp[:, k] for k in range(5))
+    x = jnp.abs(pos) / jnp.maximum(width, _MINVAL)
+    a = (1.0 / jnp.power(mid, power - 1.0)) * jnp.power(x, power)
+    b = 1.0 - (1.0 / jnp.power(1.0 - mid, power - 1.0)) * jnp.power(
+        jnp.maximum(1.0 - x, 0.0), power
+    )
+    y = jnp.where(x < mid, a, b)
+    d = dmin + y * (dmax - dmin)
+    d = jnp.clip(d, dmin, dmax)
+    return jnp.where(x >= 1.0, dmax, d)
+
+
+def _kb(solref: jax.Array, solimp: jax.Array):
+    """Stiffness/damping from solref (rows, 2). Negative solref means
+    direct (stiffness, damping) specification (MuJoCo convention)."""
+    tc, dr = solref[:, 0], solref[:, 1]
+    dmax = solimp[:, 1]
+    k = 1.0 / jnp.maximum(dmax * dmax * tc * tc * dr * dr, _MINVAL)
+    b = 2.0 / jnp.maximum(dmax * tc, _MINVAL)
+    k = jnp.where(tc < 0, -tc, k)
+    b = jnp.where(dr < 0, -dr, b)
+    return k, b
+
+
+def _point_jacobian(model: Model, kin: Kinematics, link: int, p_world):
+    """(3, nv) world point Jacobian of a point fixed to ``link``
+    (static link -1 -> zero rows). ``link`` is a static int."""
+    if link < 0:
+        return jnp.zeros((3, model.nv))
+    mask = jnp.asarray(tree_tables(model).L_mask[link])  # (nv,) dof on chain
+    r = p_world - kin.origin
+    w = kin.cdof[:, :3]  # (nv, 3)
+    v = kin.cdof[:, 3:]
+    Jp = v + jnp.cross(w, jnp.broadcast_to(r, w.shape))
+    return (Jp * mask[:, None]).T  # (3, nv)
+
+
+def _tangent_frame(n: jax.Array):
+    """Deterministic orthonormal tangents for normals n (P, 3)."""
+    ref = jnp.where(
+        (jnp.abs(n[:, 2:3]) < 0.99), jnp.array([0.0, 0.0, 1.0]), jnp.array([1.0, 0.0, 0.0])
+    )
+    t1 = jnp.cross(ref, n)
+    t1 = t1 / (jnp.linalg.norm(t1, axis=-1, keepdims=True) + 1e-12)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def build_rows(model: Model, kin: Kinematics, state: PhysicsState) -> Optional[Rows]:
+    """All constraint rows (limits + contacts), fixed shape."""
+    ensure_solver_params(model)
+    tables = tree_tables(model)
+    J_list, pos_list, solref_list, solimp_list, invw_list, kind_list, mu_list = (
+        [], [], [], [], [], [], [])
+
+    # ---- joint limits (one row per limited 1-dof joint) --------------------
+    lim = [
+        i
+        for i in range(len(np.asarray(tables.hinge_slide_link)))
+        if model.jnt_limited[tables.hinge_slide_link[i]] > 0
+    ]
+    if lim:
+        qa = np.asarray(tables.hinge_slide_q)[lim]
+        va = np.asarray(tables.hinge_slide_v)[lim]
+        la = np.asarray(tables.hinge_slide_link)[lim]
+        qi = state.q[jnp.asarray(qa)]
+        lo = jnp.asarray(model.jnt_range[la][:, 0])
+        hi = jnp.asarray(model.jnt_range[la][:, 1])
+        d_lo = qi - lo
+        d_hi = hi - qi
+        use_lo = d_lo <= d_hi
+        dist = jnp.where(use_lo, d_lo, d_hi)
+        sign = jnp.where(use_lo, 1.0, -1.0)
+        Jl = jnp.zeros((len(lim), model.nv)).at[jnp.arange(len(lim)), jnp.asarray(va)].set(sign)
+        J_list.append(Jl)
+        pos_list.append(dist)
+        solref_list.append(jnp.asarray(model.jnt_solref[la]))
+        solimp_list.append(jnp.asarray(model.jnt_solimp[la]))
+        invw_list.append(jnp.asarray(model.dof_invweight0[va]))
+        kind_list.append(np.zeros(len(lim), np.int32))  # 0 = limit/frictionless
+        mu_list.append(jnp.zeros(len(lim)))
+
+    # ---- contacts (reuse the penalty model's static narrow phase) ----------
+    if model.contact_pairs:
+        from mjrl_tpu.physics.contact import _collide_kind, _pair_groups
+
+        groups = _pair_groups(model)
+        pair_condim = model.pair_condim or {}
+        for kind, tab in groups.kinds:
+            depth, n, pts, li, lj, mu = _collide_kind(model, kin, kind, tab)
+            P = int(depth.shape[0])
+            # per-POINT geom indices, mirroring each kind's expansion in
+            # contact._collide_kind (box_box concatenates two repeat-8 runs)
+            gi0, gj0 = tab["gi"], tab["gj"]
+            if kind == "box_box":
+                gi = np.concatenate([np.repeat(gi0, 8), np.repeat(gi0, 8)])
+                gj = np.concatenate([np.repeat(gj0, 8), np.repeat(gj0, 8)])
+            else:
+                rep = P // len(gi0)
+                gi = np.repeat(gi0, rep) if rep > 1 else gi0
+                gj = np.repeat(gj0, rep) if rep > 1 else gj0
+            li = np.asarray(li)
+            lj = np.asarray(lj)
+            tab_mu = np.asarray(tab["mu"])
+            if kind == "box_box":
+                mu_pt = np.concatenate([np.repeat(tab_mu, 8)] * 2)
+            else:
+                r = P // len(tab_mu)
+                mu_pt = np.repeat(tab_mu, r) if r > 1 else tab_mu
+            gcd = (
+                model.geom_condim
+                if model.geom_condim is not None
+                else np.full(model.ngeom, 3, np.int32)
+            )
+            condim = np.asarray(
+                [
+                    1
+                    if mu_pt[idx] == 0.0
+                    else pair_condim.get(
+                        (a, b),
+                        pair_condim.get((b, a), max(gcd[a], gcd[b])),
+                    )
+                    for idx, (a, b) in enumerate(zip(gi, gj))
+                ],
+                np.int32,
+            )
+            solref = jnp.asarray(
+                0.5 * (model.geom_solref[gi] + model.geom_solref[gj])
+            )
+            solimp = jnp.asarray(
+                0.5 * (model.geom_solimp[gi] + model.geom_solimp[gj])
+            )
+            margin = jnp.asarray(
+                model.geom_margin[gi] + model.geom_margin[gj]
+            )  # MuJoCo includemargin = margin1 + margin2
+            invw = jnp.asarray(
+                model.geom_invweight0[gi] + model.geom_invweight0[gj]
+            )
+            dist = -depth - margin  # row position (MuJoCo: dist - margin)
+            # MuJoCo's contact point is the midpoint of the penetration
+            # interval; the penalty narrow phase reports a surface point
+            # (calibrated vs efc_J lever arms on a sphere-plane toy)
+            pts = pts + 0.5 * jnp.maximum(depth, 0.0)[:, None] * n
+            t1, t2 = _tangent_frame(n)
+            # point jacobians (P, 3, nv): rows stack per point
+            Jp = jnp.stack(
+                [
+                    _point_jacobian(model, kin, int(li[p]), pts[p])
+                    - _point_jacobian(model, kin, int(lj[p]), pts[p])
+                    for p in range(P)
+                ]
+            )
+            Jn = jnp.einsum("pk,pkv->pv", n, Jp)
+            Jt1 = jnp.einsum("pk,pkv->pv", t1, Jp)
+            Jt2 = jnp.einsum("pk,pkv->pv", t2, Jp)
+            muj = jnp.asarray(mu)
+            for p in range(P):
+                if condim[p] == 1:
+                    J_list.append(Jn[p][None])
+                    pos_list.append(dist[p][None])
+                    solref_list.append(solref[p][None])
+                    solimp_list.append(solimp[p][None])
+                    invw_list.append(invw[p][None])
+                    kind_list.append(np.zeros(1, np.int32))
+                    mu_list.append(jnp.zeros(1))
+                else:
+                    rows = jnp.stack(
+                        [
+                            Jn[p] + muj[p] * Jt1[p],
+                            Jn[p] - muj[p] * Jt1[p],
+                            Jn[p] + muj[p] * Jt2[p],
+                            Jn[p] - muj[p] * Jt2[p],
+                        ]
+                    )
+                    J_list.append(rows)
+                    pos_list.append(jnp.broadcast_to(dist[p], (4,)))
+                    solref_list.append(jnp.broadcast_to(solref[p], (4, 2)))
+                    solimp_list.append(jnp.broadcast_to(solimp[p], (4, 5)))
+                    invw_list.append(jnp.broadcast_to(invw[p], (4,)))
+                    kind_list.append(np.ones(4, np.int32))  # 1 = pyramidal
+                    mu_list.append(jnp.broadcast_to(muj[p], (4,)))
+
+    if not J_list:
+        return None
+    J = jnp.concatenate(J_list)
+    pos = jnp.concatenate(pos_list)
+    solref = jnp.concatenate(solref_list)
+    solimp = jnp.concatenate(solimp_list)
+    invw = jnp.concatenate(invw_list)
+    kind = np.concatenate(kind_list)
+    mu = jnp.concatenate(mu_list)
+
+    d = _impedance(solimp, pos)
+    k, b = _kb(solref, solimp)
+    vel = J @ state.qd
+    aref = -b * vel - k * d * pos
+    R = (1.0 - d) / jnp.maximum(d, _MINVAL) * invw
+    pyr = jnp.asarray(kind == 1)
+    R = jnp.where(pyr, R * 2.0 * mu * mu * (1.0 + mu * mu), R)
+    D = 1.0 / jnp.maximum(R, _MINVAL)
+    # MuJoCo instantiates a row only when dist < margin (pos < 0): an
+    # approaching-but-separated contact must NOT brake (its -b*vel term
+    # would otherwise turn aref positive and self-activate the row)
+    D = jnp.where(pos < 0.0, D, 0.0)
+    return Rows(J=J, aref=aref, D=D)
+
+
+# ---------------------------------------------------------------------------
+# Newton solver.
+# ---------------------------------------------------------------------------
+
+
+def newton_solve(
+    M: jax.Array, qdd0: jax.Array, rows: Rows, iters: int = 10
+) -> jax.Array:
+    """Minimize the primal soft-constraint cost; fixed iteration count."""
+    J, aref, D = rows
+    nv = qdd0.shape[0]
+    eye = jnp.eye(nv)
+
+    def cost(x):
+        jar = J @ x - aref
+        act = (jar < 0).astype(x.dtype)
+        dx = x - qdd0
+        return 0.5 * dx @ (M @ dx) + 0.5 * jnp.sum(act * D * jar * jar)
+
+    def body(x, _):
+        jar = J @ x - aref
+        act = (jar < 0).astype(x.dtype)
+        w = act * D
+        g = M @ (x - qdd0) + J.T @ (w * jar)
+        H = M + (J.T * w) @ J + 1e-8 * eye
+        from mjrl_tpu.ops.smallchol import chol_solve_small
+
+        dx = -chol_solve_small(H, g)
+        # safeguarded step: best of a few fractions (cost is piecewise
+        # quadratic; alpha=1 is exact once the active set stabilizes)
+        alphas = jnp.array([1.0, 0.5, 0.25, 0.0625, 0.0])
+        costs = jax.vmap(lambda a: cost(x + a * dx))(alphas)
+        a = alphas[jnp.argmin(costs)]
+        return x + a * dx, ()
+
+    x, _ = jax.lax.scan(body, qdd0, None, length=iters)
+    return x
+
+
+def forward_qacc(
+    model: Model,
+    state: PhysicsState,
+    ctrl: jax.Array,
+    f_ext_world: Optional[jax.Array] = None,
+    iters: int = 10,
+    dt: float = 0.0,
+    kin: Optional[Kinematics] = None,
+) -> jax.Array:
+    """Constrained forward dynamics — MuJoCo mj_forward parity surface.
+
+    With ``dt == 0`` smooth dynamics use EXPLICIT joint damping (like
+    MuJoCo's qfrc_passive) so the returned qacc is directly comparable to
+    mujoco's ``d.qacc``. With ``dt > 0`` (integration use) ``dt*damping``
+    is added to the metric, making joint damping semi-implicit — MuJoCo's
+    implicitfast treatment. Contacts/limits come from the Newton constraint
+    solve; ``f_ext_world`` carries additional smooth wrenches (fluid)."""
+    from mjrl_tpu.ops.smallchol import chol_solve_small
+
+    ensure_solver_params(model)
+    kin = kin or compute_kinematics(model, state)
+    damping = jnp.asarray(model.dof_damping)
+    M = crba(model, kin) + jnp.diag(
+        jnp.asarray(model.dof_armature) + dt * damping
+    )
+    C = rnea_bias(model, kin, f_ext_world=f_ext_world)
+    from mjrl_tpu.physics.engine import passive_forces_smooth
+
+    tau = actuation(model, ctrl, state) + passive_forces_smooth(model, state)
+    if model.tendon_Jq is not None:
+        from mjrl_tpu.physics.engine import tendon_forces
+
+        tau = tau + tendon_forces(model, state)
+    rhs = tau - C - damping * state.qd
+    qdd0 = chol_solve_small(M, rhs)
+    rows = build_rows(model, kin, state)
+    if rows is None:
+        return qdd0
+    return newton_solve(M, qdd0, rows, iters=iters)

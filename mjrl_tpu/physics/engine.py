@@ -441,7 +441,15 @@ def rnea_bias(
     return jnp.sum(G * L, axis=0)
 
 
-def passive_forces(model: Model, state: PhysicsState) -> jax.Array:
+def passive_forces_smooth(model: Model, state: PhysicsState) -> jax.Array:
+    """Joint springs only (no limit penalty) — the smooth passive force
+    used when limits are handled by the constraint solver (csolve.py)."""
+    return passive_forces(model, state, include_limits=False)
+
+
+def passive_forces(
+    model: Model, state: PhysicsState, include_limits: bool = True
+) -> jax.Array:
     """Joint springs + limit penalties, vectorized over the 1-dof joints.
 
     Limits are folded into full-width per-joint arrays (±1e30 sentinels for
@@ -462,7 +470,7 @@ def passive_forces(model: Model, state: PhysicsState) -> jax.Array:
     stiff = jnp.asarray(model.jnt_stiffness[li])
     springref = jnp.asarray(model.jnt_springref[li])
     f = -stiff * (qi - springref)
-    if tables.limited_idx.size > 0:
+    if include_limits and tables.limited_idx.size > 0:
         limited = model.jnt_limited[li] > 0
         lo = jnp.asarray(
             np.where(limited, model.jnt_range[li][:, 0], -1e30).astype(np.float32)
@@ -728,20 +736,28 @@ def step(
     n = model.n_substeps
     dt = model.dt / n
 
+    newton = model.constraint_solver == "newton"
+
     def substep(state, _):
         kin = compute_kinematics(model, state, link_pos_delta=link_pos_delta)
         f_ext = f_ext_world
         if f_ext is None:
-            if model.contact_pairs:
+            if model.contact_pairs and not newton:
                 from mjrl_tpu.physics.contact import contact_forces
 
                 f_ext = contact_forces(model, kin)
             if model.density != 0.0 or model.viscosity != 0.0:
                 fluid = fluid_forces(model, kin)
                 f_ext = fluid if f_ext is None else f_ext + fluid
-        qdd = forward_dynamics(
-            model, state, ctrl, f_ext, kin=kin, dt=dt
-        )
+        if newton:
+            # contacts + joint limits as soft constraints (csolve.py)
+            from mjrl_tpu.physics import csolve
+
+            qdd = csolve.forward_qacc(model, state, ctrl, f_ext, dt=dt, kin=kin)
+        else:
+            qdd = forward_dynamics(
+                model, state, ctrl, f_ext, kin=kin, dt=dt
+            )
         return integrate(model, state, qdd, dt=dt), ()
 
     if n == 1:

@@ -304,6 +304,8 @@ def load_mjcf(source: str) -> Model:
                 quat=quat,
                 friction=friction,
             )
+            solimp = _floats(attrs.get("solimp", "0.9 0.95 0.001 0.5 2"))
+            solimp = (solimp + [0.5, 2.0])[:5]  # files often give 3 of 5
             geom_meta.append(
                 dict(
                     idx=gidx,
@@ -311,6 +313,10 @@ def load_mjcf(source: str) -> Model:
                     contype=int(attrs.get("contype", "1")),
                     conaffinity=int(attrs.get("conaffinity", "1")),
                     type=gtype,
+                    condim=int(attrs.get("condim", "3")),
+                    solref=_floats(attrs.get("solref", "0.02 1")),
+                    solimp=solimp,
+                    margin=float(attrs.get("margin", "0")),
                 )
             )
             if gtype != PLANE and body_name is not None:
@@ -486,6 +492,20 @@ def load_mjcf(source: str) -> Model:
             pairs.append((j, i) if static_i else (i, j))
 
     model = b.finalize(explicit_pairs=pairs)
+
+    # soft-constraint solver parameters per geom (csolve.py); invweights
+    # are computed lazily at first solver use
+    ng = model.ngeom
+    model.geom_solref = np.asarray(
+        [g["solref"][:2] for g in geom_meta], np.float32
+    ).reshape(ng, 2)
+    model.geom_solimp = np.asarray(
+        [g["solimp"] for g in geom_meta], np.float32
+    ).reshape(ng, 5)
+    model.geom_margin = np.asarray(
+        [g["margin"] for g in geom_meta], np.float32
+    )
+    model.geom_condim = np.asarray([g["condim"] for g in geom_meta], np.int32)
 
     # free-joint initial world pose -> qpos0
     qpos0 = model.default_qpos.copy()

@@ -142,6 +142,21 @@ class Model:
     dof_limit_damping: Optional[np.ndarray] = None  # (nv,)
     tendon_limit_stiffness: Optional[np.ndarray] = None  # (ntendon,)
     tendon_limit_damping: Optional[np.ndarray] = None  # (ntendon,)
+    # --- soft-constraint solver parameters (MuJoCo solref/solimp model;
+    # used by physics/csolve.py when constraint_solver == "newton").
+    # None => MuJoCo defaults filled in lazily. invweight0 arrays are the
+    # diagonal task-space inverse inertia at qpos0 (verified == MuJoCo's
+    # dof_invweight0 / body_invweight0[:, 0]). ---
+    jnt_solref: Optional[np.ndarray] = None  # (nlink, 2)
+    jnt_solimp: Optional[np.ndarray] = None  # (nlink, 5)
+    geom_solref: Optional[np.ndarray] = None  # (ngeom, 2)
+    geom_solimp: Optional[np.ndarray] = None  # (ngeom, 5)
+    geom_margin: Optional[np.ndarray] = None  # (ngeom,)
+    geom_condim: Optional[np.ndarray] = None  # (ngeom,) contact dim 1/3
+    dof_invweight0: Optional[np.ndarray] = None  # (nv,)
+    geom_invweight0: Optional[np.ndarray] = None  # (ngeom,) owning-body trn
+    pair_condim: Optional[Dict[Tuple[int, int], int]] = None
+    constraint_solver: str = "penalty"  # 'penalty' | 'newton'
     # --- options ---
     dt: float = 0.002
     # physics substeps per dt — penalty contacts need dt_sub small enough

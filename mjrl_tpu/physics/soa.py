@@ -81,6 +81,8 @@ def soa_supported(model: Model) -> bool:
             return False
     if model.tendon_Jq is not None:
         return False
+    if model.constraint_solver != "penalty":
+        return False  # csolve (Newton constraints) runs on the engine path
     for kind, tab in _pair_groups(model).kinds:
         if kind not in _SUPPORTED_KINDS:
             return False
