@@ -156,6 +156,21 @@ class AdroitEnv(Env):
         qd = jnp.zeros(self.model.nv)
         return q, qd
 
+    def _guard(self, ps: PhysicsState, reward, terminated, obs):
+        """Blow-up guard (same rationale as locomotion.py): the stiff
+        30-dof hand sits near the penalty model's f32 stability edge, and a
+        single diverged env poisons the whole batch's returns with NaN.
+        A diverged state terminates with zero reward and sanitized obs."""
+        sane = (
+            jnp.all(jnp.isfinite(ps.q))
+            & jnp.all(jnp.isfinite(ps.qd))
+            & (jnp.max(jnp.abs(ps.qd)) < 1e4)
+        )
+        reward = jnp.where(sane, reward, 0.0)
+        terminated = jnp.logical_or(terminated, jnp.logical_not(sane))
+        obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
+        return reward, terminated, obs
+
     @property
     def obs_dim(self) -> int:
         raise NotImplementedError
@@ -225,7 +240,9 @@ class AdroitRelocateEnv(AdroitEnv):
         )
         success = goal_dist < 0.1
         info: Dict[str, jax.Array] = {"success": success}
-        return st, self._obs(st), reward, jnp.zeros((), bool), info
+        obs = self._obs(st)
+        reward, terminated, obs = self._guard(ps, reward, jnp.zeros((), bool), obs)
+        return st, obs, reward, terminated, info
 
 
 class AdroitHammerEnv(AdroitEnv):
@@ -313,7 +330,8 @@ class AdroitHammerEnv(AdroitEnv):
                 self._nail_impact(kin)[None],
             ]
         )
-        return st, obs, reward, jnp.zeros((), bool), {"success": success}
+        reward, terminated, obs = self._guard(ps, reward, jnp.zeros((), bool), obs)
+        return st, obs, reward, terminated, {"success": success}
 
 
 class AdroitDoorEnv(AdroitEnv):
@@ -378,7 +396,9 @@ class AdroitDoorEnv(AdroitEnv):
             + jnp.where(door_pos > 1.35, 10.0, 0.0)
         )
         success = door_pos > 1.35
-        return st, self._obs(st), reward, jnp.zeros((), bool), {"success": success}
+        obs = self._obs(st)
+        reward, terminated, obs = self._guard(ps, reward, jnp.zeros((), bool), obs)
+        return st, obs, reward, terminated, {"success": success}
 
 
 class AdroitPenEnv(AdroitEnv):
@@ -463,7 +483,9 @@ class AdroitPenEnv(AdroitEnv):
             - jnp.where(obj[2] < 0.075, 5.0, 0.0)
         )
         success = (goal_dist < 0.075) & (similarity > 0.95)
-        return st, self._obs(st), reward, jnp.zeros((), bool), {"success": success}
+        obs = self._obs(st)
+        reward, terminated, obs = self._guard(ps, reward, jnp.zeros((), bool), obs)
+        return st, obs, reward, terminated, {"success": success}
 
 
 register("adroit_relocate", AdroitRelocateEnv)

@@ -522,6 +522,26 @@ def limit_damping_diag(model: Model, q: jax.Array) -> jax.Array:
     return diag.at[hsv].add(jnp.where(jnp.abs(viol) > 0, c, 0.0))
 
 
+def _act_selectors(model: Model):
+    """(P_q, P_v) constant 0/1 selection matrices for the actuator
+    transmissions: P_q (nu, nq) picks the target joint's qpos, P_v (nu, nv)
+    its dof. Cached on the model; P_q is None when no servo params exist."""
+    cached = getattr(model, "_act_sel", None)
+    if cached is None:
+        nu = model.nu
+        nq = len(model.default_qpos)
+        P_v = np.zeros((nu, model.nv), np.float32)
+        P_v[np.arange(nu), np.asarray(model.act_vadr)] = 1.0
+        P_q = None
+        if model.act_qadr is not None:
+            P_q = np.zeros((nu, nq), np.float32)
+            P_q[np.arange(nu), np.asarray(model.act_qadr)] = 1.0
+        cached = (P_q, P_v)  # numpy: device constants would leak tracers
+        model._act_sel = cached
+    P_q, P_v = cached
+    return (None if P_q is None else jnp.asarray(P_q)), jnp.asarray(P_v)
+
+
 def actuation(
     model: Model, ctrl: jax.Array, state: Optional[PhysicsState] = None
 ) -> jax.Array:
@@ -534,19 +554,26 @@ def actuation(
         force  = gainprm[0]*ctrl + b0 + b1*length + b2*velocity
         tau   += gear * force
     """
-    tau = jnp.zeros(model.nv)
     if model.nu == 0:
-        return tau
+        return jnp.zeros(model.nv)
     lo = jnp.asarray(model.act_ctrlrange[:, 0])
     hi = jnp.asarray(model.act_ctrlrange[:, 1])
     limited = jnp.asarray(model.act_ctrllimited) > 0
     c = jnp.where(limited, jnp.clip(ctrl, lo, hi), ctrl)
     gear = jnp.asarray(model.act_gear)
+    # Constant one-hot selection matrices instead of gather/scatter: the
+    # TPU backend miscompiles the vmapped gather->scatter-add pair when it
+    # fuses with the surrounding force computation (observed on the Adroit
+    # servo path: identical rows at reset masked it, qd!=0 states produced
+    # wrong wrist torques under jit while eager matched CPU bit-for-bit).
+    # Dense (nu, nq)/(nu, nv) 0/1 matmuls are MXU-native and fusion-safe.
+    P_v = _act_selectors(model)[1]
     if model.act_gainprm is None:
         force = c
     else:
-        q_i = state.q[jnp.asarray(model.act_qadr)]
-        qd_i = state.qd[jnp.asarray(model.act_vadr)]
+        P_q = _act_selectors(model)[0]
+        q_i = P_q @ state.q
+        qd_i = P_v @ state.qd
         gain = jnp.asarray(model.act_gainprm)
         bias = jnp.asarray(model.act_biasprm)
         force = (
@@ -555,7 +582,7 @@ def actuation(
             + bias[:, 1] * (gear * q_i)
             + bias[:, 2] * (gear * qd_i)
         )
-    return tau.at[jnp.asarray(model.act_vadr)].add(gear * force)
+    return P_v.T @ (gear * force)
 
 
 def tendon_forces(model: Model, state: PhysicsState) -> jax.Array:
