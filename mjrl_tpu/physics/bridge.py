@@ -243,6 +243,10 @@ def model_from_mujoco(m) -> Model:
     model.geom_margin = geom_margin
     model.geom_condim = geom_condim
     model.geom_invweight0 = geom_invw
+    geom_tor = np.full(ngeom, 0.005, np.float32)
+    for mj_g, our_g in geom_map.items():
+        geom_tor[our_g] = m.geom_friction[mj_g][1]
+    model.geom_friction_tor = geom_tor
     model.dof_invweight0 = np.asarray(m.dof_invweight0, np.float32)
     pair_condim = {}
     for p in range(m.npair):

@@ -79,6 +79,8 @@ def ensure_solver_params(model: Model) -> None:
         model.geom_solimp = np.tile(_DEF_SOLIMP, (model.ngeom, 1))
     if model.geom_margin is None:
         model.geom_margin = np.zeros(model.ngeom, np.float32)
+    if model.geom_friction_tor is None:
+        model.geom_friction_tor = np.full(model.ngeom, 0.005, np.float32)
     if model.dof_invweight0 is None or model.geom_invweight0 is None:
         # may be reached lazily during a jit trace: force eager evaluation
         # (these are load-time constants, not traced state)
@@ -182,6 +184,14 @@ def _point_jacobian(model: Model, kin: Kinematics, link: int, p_world):
     v = kin.cdof[:, 3:]
     Jp = v + jnp.cross(w, jnp.broadcast_to(r, w.shape))
     return (Jp * mask[:, None]).T  # (3, nv)
+
+
+def _rot_jacobian(model: Model, kin: Kinematics, link: int):
+    """(3, nv) world angular-velocity Jacobian of ``link`` (static -> 0)."""
+    if link < 0:
+        return jnp.zeros((3, model.nv))
+    mask = jnp.asarray(tree_tables(model).L_mask[link])
+    return (kin.cdof[:, :3] * mask[:, None]).T
 
 
 def _tangent_frame(n: jax.Array):
@@ -302,6 +312,20 @@ def build_rows(model: Model, kin: Kinematics, state: PhysicsState) -> Optional[R
             Jn = jnp.einsum("pk,pkv->pv", n, Jp)
             Jt1 = jnp.einsum("pk,pkv->pv", t1, Jp)
             Jt2 = jnp.einsum("pk,pkv->pv", t2, Jp)
+            # condim 4: torsional friction — relative angular rate about the
+            # contact normal (verified vs mujoco efc_J on a condim-4 ball:
+            # row pair J = Jn ± mu_tor * n^T (Jw_i - Jw_j), same D as the
+            # tangent rows, which MuJoCo bases on friction[0] for all rows)
+            tor = np.asarray(model.geom_friction_tor)
+            mu_tor = jnp.asarray(np.maximum(tor[gi], tor[gj]))
+            Jw = jnp.stack(
+                [
+                    _rot_jacobian(model, kin, int(li[p]))
+                    - _rot_jacobian(model, kin, int(lj[p]))
+                    for p in range(P)
+                ]
+            )
+            Jtor = jnp.einsum("pk,pkv->pv", n, Jw)
             muj = jnp.asarray(mu)
             for p in range(P):
                 if condim[p] == 1:
@@ -313,21 +337,25 @@ def build_rows(model: Model, kin: Kinematics, state: PhysicsState) -> Optional[R
                     kind_list.append(np.zeros(1, np.int32))
                     mu_list.append(jnp.zeros(1))
                 else:
-                    rows = jnp.stack(
-                        [
-                            Jn[p] + muj[p] * Jt1[p],
-                            Jn[p] - muj[p] * Jt1[p],
-                            Jn[p] + muj[p] * Jt2[p],
-                            Jn[p] - muj[p] * Jt2[p],
+                    facets = [
+                        Jn[p] + muj[p] * Jt1[p],
+                        Jn[p] - muj[p] * Jt1[p],
+                        Jn[p] + muj[p] * Jt2[p],
+                        Jn[p] - muj[p] * Jt2[p],
+                    ]
+                    if condim[p] >= 4:
+                        facets += [
+                            Jn[p] + mu_tor[p] * Jtor[p],
+                            Jn[p] - mu_tor[p] * Jtor[p],
                         ]
-                    )
-                    J_list.append(rows)
-                    pos_list.append(jnp.broadcast_to(dist[p], (4,)))
-                    solref_list.append(jnp.broadcast_to(solref[p], (4, 2)))
-                    solimp_list.append(jnp.broadcast_to(solimp[p], (4, 5)))
-                    invw_list.append(jnp.broadcast_to(invw[p], (4,)))
-                    kind_list.append(np.ones(4, np.int32))  # 1 = pyramidal
-                    mu_list.append(jnp.broadcast_to(muj[p], (4,)))
+                    nf = len(facets)
+                    J_list.append(jnp.stack(facets))
+                    pos_list.append(jnp.broadcast_to(dist[p], (nf,)))
+                    solref_list.append(jnp.broadcast_to(solref[p], (nf, 2)))
+                    solimp_list.append(jnp.broadcast_to(solimp[p], (nf, 5)))
+                    invw_list.append(jnp.broadcast_to(invw[p], (nf,)))
+                    kind_list.append(np.ones(nf, np.int32))  # 1 = pyramidal
+                    mu_list.append(jnp.broadcast_to(muj[p], (nf,)))
 
     if not J_list:
         return None

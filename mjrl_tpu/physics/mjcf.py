@@ -293,7 +293,9 @@ def load_mjcf(source: str) -> Model:
             else:
                 pos = np.asarray(_floats(attrs.get("pos", "0 0 0")))
                 quat = parse_orient(attrs)
-            friction = _floats(attrs.get("friction", "1 0.005 0.0001"))[0]
+            fr = _floats(attrs.get("friction", "1 0.005 0.0001"))
+            friction = fr[0]
+            friction_tor = fr[1] if len(fr) > 1 else 0.005
             density = float(attrs.get("density", "1000"))
             mass_attr = float(attrs["mass"]) if "mass" in attrs else None
             gidx = b.add_geom(
@@ -317,6 +319,7 @@ def load_mjcf(source: str) -> Model:
                     solref=_floats(attrs.get("solref", "0.02 1")),
                     solimp=solimp,
                     margin=float(attrs.get("margin", "0")),
+                    friction_tor=friction_tor,
                 )
             )
             if gtype != PLANE and body_name is not None:
@@ -506,6 +509,9 @@ def load_mjcf(source: str) -> Model:
         [g["margin"] for g in geom_meta], np.float32
     )
     model.geom_condim = np.asarray([g["condim"] for g in geom_meta], np.int32)
+    model.geom_friction_tor = np.asarray(
+        [g["friction_tor"] for g in geom_meta], np.float32
+    )
 
     # free-joint initial world pose -> qpos0
     qpos0 = model.default_qpos.copy()

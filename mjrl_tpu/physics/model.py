@@ -156,6 +156,7 @@ class Model:
     dof_invweight0: Optional[np.ndarray] = None  # (nv,)
     geom_invweight0: Optional[np.ndarray] = None  # (ngeom,) owning-body trn
     pair_condim: Optional[Dict[Tuple[int, int], int]] = None
+    geom_friction_tor: Optional[np.ndarray] = None  # (ngeom,) torsional mu
     constraint_solver: str = "penalty"  # 'penalty' | 'newton'
     # --- options ---
     dt: float = 0.002
