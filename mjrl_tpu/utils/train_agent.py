@@ -23,6 +23,7 @@ import time
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mjrl_tpu.algos.base import BatchREINFORCE
@@ -70,6 +71,13 @@ def train_agent(
             state = restored
             start_iter = int(state.iteration)
             print(f"Resuming {job_name} from iteration {start_iter}")
+            # Reload prior metrics so save_log doesn't overwrite log.csv
+            # with only post-resume rows (reference:
+            # _load_latest_policy_and_logs reload + shrink semantics).
+            prev_csv = os.path.join(logdir, "log.csv")
+            if os.path.exists(prev_csv):
+                logger.read_log(prev_csv)
+                logger.shrink_to(start_iter)
 
     train_step = agent.jitted_train_step
     eval_fn = None
@@ -130,12 +138,17 @@ def train_agent(
         perf = row.get("eval_score", row["running_score"])
         if perf > best_perf:
             best_perf = perf
-            best_state = jax.device_get(state)  # cheap snapshot in host RAM
+            # Snapshot ON DEVICE: an async HBM copy costs ~nothing, while a
+            # device_get here is a synchronous full-pytree readback (tens of
+            # seconds per iteration over tunneled backends once the score
+            # improves every iteration near a plateau).
+            best_state = jax.tree.map(jnp.copy, state)
 
         if i % save_freq == 0 or i == niter - 1:
             ckpt.save(i + 1, state)
             if best_state is not None:
-                ckpt.save_best(best_state)  # write best at save points only
+                # one readback at save points only
+                ckpt.save_best(jax.device_get(best_state))
                 best_state = None
             logger.save_log(logdir)
             make_train_plots(log=logger, keys=plot_keys, save_loc=logdir)
