@@ -80,3 +80,26 @@ def test_config_dapg_pipeline(demo_pickle, tmp_path):
     assert "demo_coef" in rows[-1]
     # demo advantage decays with iteration k: lam_0 * lam_1^k
     assert rows[1]["demo_coef"] < rows[0]["demo_coef"]
+
+
+def test_resume_preserves_log_history(tmp_path):
+    """A resumed job must keep pre-resume rows in log.csv (reference:
+    _load_latest_policy_and_logs reloads the log and shrinks it to the
+    restored iteration)."""
+    import csv
+
+    from mjrl_tpu.algos import NPG
+    from mjrl_tpu.models import QuadraticBaseline
+
+    env = envs.make("point_mass")
+    pol = GaussianMLP(env.spec, hidden_sizes=(8,))
+    agent = NPG(env, pol, QuadraticBaseline(env.spec), num_traj=8)
+    job = str(tmp_path / "job")
+    train_agent(job, agent, niter=4, save_freq=2, seed=1, print_table=False)
+    # relaunch with a higher niter: resumes from the niter=4 checkpoint
+    agent2 = NPG(env, pol, QuadraticBaseline(env.spec), num_traj=8)
+    train_agent(job, agent2, niter=6, save_freq=2, seed=1, print_table=False)
+    rows = list(csv.DictReader(open(os.path.join(job, "logs", "log.csv"))))
+    assert len(rows) == 6, f"expected 6 rows (4 + 2 resumed), got {len(rows)}"
+    iters = [int(float(r["iteration"])) for r in rows]
+    assert iters == list(range(6))
