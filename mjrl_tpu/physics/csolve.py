@@ -48,7 +48,6 @@ from mjrl_tpu.physics.engine import (
     rnea_bias,
     actuation,
     tree_tables,
-    _link_ancestor_matrix,
 )
 from mjrl_tpu.physics.model import Model
 
@@ -100,7 +99,11 @@ def _compute_invweights(model: Model) -> None:
         if model.dof_invweight0 is None:
             model.dof_invweight0 = np.diag(Minv).astype(np.float32)
         if model.geom_invweight0 is None:
-            anc = np.asarray(_link_ancestor_matrix(model))  # (nlink, nv)
+            # (nlink, nv) dof-on-chain mask. NOT _link_ancestor_matrix,
+            # which is (nlink, nlink) over LINKS: the two coincide only on
+            # the planar gym models where every link has exactly one dof
+            # (a free-joint root makes nv = nlink + 5 and misaligns it).
+            anc = np.asarray(tree_tables(model).L_mask)
             pos = np.asarray(kin.pos)
             quat = np.asarray(kin.quat)
             origin = np.asarray(kin.origin)
@@ -426,7 +429,7 @@ def forward_qacc(
     state: PhysicsState,
     ctrl: jax.Array,
     f_ext_world: Optional[jax.Array] = None,
-    iters: int = 10,
+    iters: Optional[int] = None,
     dt: float = 0.0,
     kin: Optional[Kinematics] = None,
 ) -> jax.Array:
@@ -459,4 +462,6 @@ def forward_qacc(
     rows = build_rows(model, kin, state)
     if rows is None:
         return qdd0
+    if iters is None:
+        iters = int(getattr(model, "solver_iters", 10))
     return newton_solve(M, qdd0, rows, iters=iters)

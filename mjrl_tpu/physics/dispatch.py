@@ -56,6 +56,13 @@ def make_frame_stepper(
     if not (use_soa and soa.soa_supported(model)):
         return per_env
 
+    if model.constraint_solver == "newton":
+        # solver parameters (invweight0 etc.) are trace-time numpy
+        # constants; materialize them eagerly before any Pallas trace
+        from mjrl_tpu.physics.csolve import ensure_solver_params
+
+        ensure_solver_params(model)
+
     total_substeps = frame_skip * model.n_substeps
 
     @jax.custom_batching.custom_vmap

@@ -158,6 +158,10 @@ class Model:
     pair_condim: Optional[Dict[Tuple[int, int], int]] = None
     geom_friction_tor: Optional[np.ndarray] = None  # (ngeom,) torsional mu
     constraint_solver: str = "penalty"  # 'penalty' | 'newton'
+    # Newton iterations for constraint_solver == 'newton'. MuJoCo's solver
+    # terminates early on convergence (usually < 5 iters); with fixed-shape
+    # iteration the count trades throughput for tail accuracy.
+    solver_iters: int = 10
     # --- options ---
     dt: float = 0.002
     # physics substeps per dt — penalty contacts need dt_sub small enough

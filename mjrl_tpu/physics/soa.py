@@ -38,7 +38,7 @@ locomotion model.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -81,8 +81,8 @@ def soa_supported(model: Model) -> bool:
             return False
     if model.tendon_Jq is not None:
         return False
-    if model.constraint_solver != "penalty":
-        return False  # csolve (Newton constraints) runs on the engine path
+    if model.constraint_solver not in ("penalty", "newton"):
+        return False  # unknown solver: engine path decides
     for kind, tab in _pair_groups(model).kinds:
         if kind not in _SUPPORTED_KINDS:
             return False
@@ -498,15 +498,29 @@ def _plane_normal_point(model: Model, g: int):
     return n.astype(np.float32), np.asarray(model.geom_pos[g], np.float32)
 
 
-def _contact_forces(model: Model, pos, quat, cvel, origin):
-    """Accumulated world wrenches about ``origin`` per link: dict l -> (6,B)."""
+class _Cand(NamedTuple):
+    gi: int
+    gj: int
+    li: int
+    lj: int
+    mu: float
+    depth: jax.Array  # (1, B)
+    n: jax.Array  # (3, B), points j -> i
+    pt: jax.Array  # (3, B) world contact point
+
+
+def _contact_candidates(model: Model, pos, quat) -> List[_Cand]:
+    """Narrow phase, batch-last: one candidate per potential contact point.
+
+    Produces the same per-point (depth, normal, point) values as the engine
+    path's contact._collide_kind, in the same kind/pair/sub-point order, so
+    both the penalty force model (_contact_forces) and the Newton constraint
+    rows (soa_newton.py) consume one shared geometry pass.
+    """
     groups = _pair_groups(model)
+    out: List[_Cand] = []
     if not groups.kinds:
-        return None
-    ks = np.float32(model.contact_stiffness)
-    kd = np.float32(model.contact_damping)
-    cap = np.float32(model.contact_depth_cap)
-    vreg = np.float32(model.friction_vel)
+        return out
 
     pose_cache: Dict[int, Tuple[jax.Array, jax.Array]] = {}
 
@@ -522,41 +536,13 @@ def _contact_forces(model: Model, pos, quat, cvel, origin):
         pose_cache[g] = (p, qq)
         return p, qq
 
-    def point_vel(l: int, p_rel):
-        if l < 0:
-            return _z(3)
-        v = cvel[l]
-        return v[3:6] + _cross(v[0:3], p_rel)
-
-    f_ext: Dict[int, jax.Array] = {}
-
-    def add_contact(depth, n, pt_world, li, lj, mu):
-        p_rel = pt_world - origin
-        v_rel = point_vel(li, p_rel) - point_vel(lj, p_rel)
-        v_n = _dot(v_rel, n)
-        v_t = v_rel - v_n * n
-        fn = jnp.maximum(0.0, ks * jnp.minimum(depth, cap) - kd * v_n)
-        fn = jnp.where(depth > 0.0, fn, 0.0)
-        if model.contact_force_cap_ratio > 0:
-            fn = jnp.minimum(
-                fn, np.float32(model.contact_force_cap_ratio) * ks * cap
-            )
-        vt_norm = jnp.sqrt(_dot(v_t, v_t))
-        f = fn * n - np.float32(mu) * fn * v_t / (vt_norm + vreg)
-        wrench = jnp.concatenate([_cross(p_rel, f), f], axis=0)
-        for link, sign in ((li, 1.0), (lj, -1.0)):
-            if link < 0:
-                continue
-            w = wrench if sign > 0 else -wrench
-            f_ext[link] = w if f_ext.get(link) is None else f_ext[link] + w
-
-    def sphere_sphere(c1, r1, c2, r2, li, lj, mu):
+    def sphere_sphere(c1, r1, c2, r2):
         d = c1 - c2
         dist = jnp.sqrt(_dot(d, d)) + 1e-12
         n = d / dist
         depth = np.float32(r1 + r2) - dist
         pt = c2 + n * (np.float32(r2) - 0.5 * jnp.maximum(depth, 0.0))
-        add_contact(depth, n, pt, li, lj, mu)
+        return depth, n, pt
 
     Z = _c([0.0, 0.0, 1.0])
     for kind, tab in groups.kinds:
@@ -572,7 +558,8 @@ def _contact_forces(model: Model, pos, quat, cvel, origin):
                 nrm = _c(nrm_np)
                 pi_, _ = geom_pose(gi)
                 dist = _dot(pi_ - _c(pp), nrm) - np.float32(si[0])
-                add_contact(-dist, nrm, pi_ - nrm * np.float32(si[0]), li, lj, mu)
+                out.append(_Cand(gi, gj, li, lj, mu, -dist, nrm,
+                                 pi_ - nrm * np.float32(si[0])))
             elif kind == "capsule_plane":
                 nrm_np, pp = _plane_normal_point(model, gj)
                 nrm = _c(nrm_np)
@@ -581,9 +568,8 @@ def _contact_forces(model: Model, pos, quat, cvel, origin):
                 for sgn in (-1.0, 1.0):
                     end = pi_ + np.float32(sgn * si[1]) * axis
                     dist = _dot(end - _c(pp), nrm) - np.float32(si[0])
-                    add_contact(
-                        -dist, nrm, end - nrm * np.float32(si[0]), li, lj, mu
-                    )
+                    out.append(_Cand(gi, gj, li, lj, mu, -dist, nrm,
+                                     end - nrm * np.float32(si[0])))
             elif kind == "box_plane":
                 nrm_np, pp = _plane_normal_point(model, gj)
                 nrm = _c(nrm_np)
@@ -596,11 +582,14 @@ def _contact_forces(model: Model, pos, quat, cvel, origin):
                                 _c([sx * si[0], sy * si[1], sz * si[2]]),
                             )
                             dist = _dot(corner - _c(pp), nrm)
-                            add_contact(-dist, nrm, corner, li, lj, mu)
+                            out.append(
+                                _Cand(gi, gj, li, lj, mu, -dist, nrm, corner)
+                            )
             elif kind == "sphere_sphere":
                 pi_, _ = geom_pose(gi)
                 pj_, _ = geom_pose(gj)
-                sphere_sphere(pi_, si[0], pj_, sj[0], li, lj, mu)
+                d, n, pt = sphere_sphere(pi_, si[0], pj_, sj[0])
+                out.append(_Cand(gi, gj, li, lj, mu, d, n, pt))
             elif kind == "sphere_capsule":
                 pi_, _ = geom_pose(gi)
                 pj_, qj_ = geom_pose(gj)
@@ -610,7 +599,8 @@ def _contact_forces(model: Model, pos, quat, cvel, origin):
                 t = jnp.clip(
                     _dot(pi_ - a, d) / (_dot(d, d) + 1e-12), 0.0, 1.0
                 )
-                sphere_sphere(pi_, si[0], a + t * d, sj[0], li, lj, mu)
+                dep, n, pt = sphere_sphere(pi_, si[0], a + t * d, sj[0])
+                out.append(_Cand(gi, gj, li, lj, mu, dep, n, pt))
             elif kind == "capsule_capsule":
                 pi_, qi_ = geom_pose(gi)
                 pj_, qj_ = geom_pose(gj)
@@ -633,11 +623,54 @@ def _contact_forces(model: Model, pos, quat, cvel, origin):
                 s = jnp.clip(s, 0.0, 1.0)
                 t = jnp.clip((b * s + f) / e, 0.0, 1.0)
                 s = jnp.clip((b * t - c) / a, 0.0, 1.0)
-                sphere_sphere(
-                    p1 + s * d1, si[0], p2 + t * d2, sj[0], li, lj, mu
+                dep, n, pt = sphere_sphere(
+                    p1 + s * d1, si[0], p2 + t * d2, sj[0]
                 )
+                out.append(_Cand(gi, gj, li, lj, mu, dep, n, pt))
             else:  # pragma: no cover - gated by soa_supported
                 raise ValueError(kind)
+    return out
+
+
+def _contact_forces(model: Model, pos, quat, cvel, origin,
+                    candidates: Optional[List[_Cand]] = None):
+    """Accumulated world wrenches about ``origin`` per link: dict l -> (6,B)."""
+    if candidates is None:
+        candidates = _contact_candidates(model, pos, quat)
+    if not candidates:
+        return None
+    ks = np.float32(model.contact_stiffness)
+    kd = np.float32(model.contact_damping)
+    cap = np.float32(model.contact_depth_cap)
+    vreg = np.float32(model.friction_vel)
+
+    def point_vel(l: int, p_rel):
+        if l < 0:
+            return _z(3)
+        v = cvel[l]
+        return v[3:6] + _cross(v[0:3], p_rel)
+
+    f_ext: Dict[int, jax.Array] = {}
+    for cand in candidates:
+        depth, n, li, lj, mu = cand.depth, cand.n, cand.li, cand.lj, cand.mu
+        p_rel = cand.pt - origin
+        v_rel = point_vel(li, p_rel) - point_vel(lj, p_rel)
+        v_n = _dot(v_rel, n)
+        v_t = v_rel - v_n * n
+        fn = jnp.maximum(0.0, ks * jnp.minimum(depth, cap) - kd * v_n)
+        fn = jnp.where(depth > 0.0, fn, 0.0)
+        if model.contact_force_cap_ratio > 0:
+            fn = jnp.minimum(
+                fn, np.float32(model.contact_force_cap_ratio) * ks * cap
+            )
+        vt_norm = jnp.sqrt(_dot(v_t, v_t))
+        f = fn * n - np.float32(mu) * fn * v_t / (vt_norm + vreg)
+        wrench = jnp.concatenate([_cross(p_rel, f), f], axis=0)
+        for link, sign in ((li, 1.0), (lj, -1.0)):
+            if link < 0:
+                continue
+            w = wrench if sign > 0 else -wrench
+            f_ext[link] = w if f_ext.get(link) is None else f_ext[link] + w
     return f_ext
 
 
@@ -689,10 +722,13 @@ def _fluid_forces(model: Model, pos, quat, cvel, origin, f_ext):
 # ---------------------------------------------------------------------------
 
 
-def _applied_forces(model: Model, tab: _SoATables, q, qd, ctrl):
+def _applied_forces(model: Model, tab: _SoATables, q, qd, ctrl,
+                    include_limits: bool = True):
     """Actuation + joint springs/limit penalties: (nv, B) generalized force.
 
-    Matches engine.actuation + engine.passive_forces semantics.
+    Matches engine.actuation + engine.passive_forces semantics. With
+    ``include_limits=False`` the limit-penalty springs are omitted (Newton
+    mode handles limits as constraint rows — engine.passive_forces_smooth).
     """
     rows: List[jax.Array] = [None] * model.nv
 
@@ -733,7 +769,7 @@ def _applied_forces(model: Model, tab: _SoATables, q, qd, ctrl):
         stiff = float(model.jnt_stiffness[i])
         if stiff != 0.0:
             add(v, -np.float32(stiff) * (qi - np.float32(model.jnt_springref[i])))
-        if model.jnt_limited[i] > 0:
+        if include_limits and model.jnt_limited[i] > 0:
             lo, hi = model.jnt_range[i]
             if model.dof_limit_stiffness is not None:
                 k = np.float32(model.dof_limit_stiffness[v])
@@ -826,6 +862,7 @@ def substep(model: Model, q: jax.Array, qd: jax.Array, ctrl: jax.Array, dt: floa
     global _LANES
     prev_lanes = _LANES
     _LANES = int(q.shape[1])
+    newton = model.constraint_solver == "newton"
     try:
         tab = _soa_tables(model)
         pos, quat = _fk(model, q)
@@ -833,9 +870,14 @@ def substep(model: Model, q: jax.Array, qd: jax.Array, ctrl: jax.Array, dt: floa
         cdof = _cdofs(model, pos, quat, origin)
         cvel = _cvels(model, cdof, qd)
         inert = _world_inertias(model, tab, pos, quat, origin)
-        f_ext = (
-            _contact_forces(model, pos, quat, cvel, origin)
+        candidates = (
+            _contact_candidates(model, pos, quat)
             if model.contact_pairs
+            else []
+        )
+        f_ext = (
+            _contact_forces(model, pos, quat, cvel, origin, candidates)
+            if candidates and not newton
             else None
         )
         if model.density != 0.0 or model.viscosity != 0.0:
@@ -843,12 +885,23 @@ def substep(model: Model, q: jax.Array, qd: jax.Array, ctrl: jax.Array, dt: floa
         crb = _composite_inertias(model, tab, inert)
         M = _mass_matrix_sparse(model, tab, cdof, crb)
         C = _bias_forces(model, tab, cdof, cvel, inert, qd, f_ext)
-        tau = _applied_forces(model, tab, q, qd, ctrl)
+        tau = _applied_forces(
+            model, tab, q, qd, ctrl, include_limits=not newton
+        )
         damping = _c(model.dof_damping)
         rhs = tau - C - damping * qd
-        qdd = _ltdl_solve(
-            model, tab, M, rhs, dt, _limit_damping_rows(model, q, dt)
-        )
+        if newton:
+            # contacts + limits as MuJoCo soft constraints (csolve.py twin)
+            from mjrl_tpu.physics import soa_newton
+
+            qdd0 = _ltdl_solve(model, tab, M, rhs, dt, None)
+            qdd = soa_newton.constrained_qdd(
+                model, tab, pos, quat, cdof, M, q, qd, qdd0, candidates, dt
+            )
+        else:
+            qdd = _ltdl_solve(
+                model, tab, M, rhs, dt, _limit_damping_rows(model, q, dt)
+            )
         return _integrate(model, q, qd, qdd, dt)
     finally:
         _LANES = prev_lanes

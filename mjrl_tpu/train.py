@@ -11,7 +11,7 @@ import argparse
 import json
 import os
 
-from mjrl_tpu.utils.configs import RunConfig, build, warm_start
+from mjrl_tpu.utils.configs import RunConfig, build, obs_norm_init, warm_start
 from mjrl_tpu.utils.train_agent import train_agent
 
 
@@ -44,6 +44,16 @@ def main() -> None:
     init_state = None
     if cfg.bc_init:
         init_state = warm_start(cfg, agent, policy, seed=cfg.seed)
+    if cfg.obs_norm:
+        import jax
+
+        init_state = obs_norm_init(
+            agent,
+            init_state if init_state is not None else agent.init(
+                jax.random.PRNGKey(cfg.seed)
+            ),
+            jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 2),
+        )
     train_agent(
         args.output,
         agent,

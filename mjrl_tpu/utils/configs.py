@@ -73,6 +73,11 @@ class RunConfig:
     demo_file: Optional[str] = None
     bc_init: bool = False
     bc_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # observation normalization: install in_shift/in_scale transforms from a
+    # random-policy rollout at init (the same transform machinery BC uses;
+    # needed for wide-magnitude observation stacks like humanoid's 376-dim
+    # cinert/cvel features, where raw-obs MLPs barely train)
+    obs_norm: bool = False
     # parallelism: shard the env axis over this many devices (0 = single)
     mesh_devices: int = 0
     # harness
@@ -143,6 +148,27 @@ def build(cfg: RunConfig):
         **agent_kwargs,
     )
     return env, policy, baseline, agent
+
+
+def obs_norm_init(agent, state, key, scale_min: float = 1e-2):
+    """Set policy in_shift/in_scale from a random-policy rollout batch.
+
+    One-shot (not running) statistics keep the policy stationary for the
+    on-policy ratio machinery; masked over valid steps. ``scale_min`` guards
+    constant observation channels.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    batch = jax.jit(agent._sample_batch_inner)(state, key)
+    obs = batch.observations.reshape(-1, batch.observations.shape[-1])
+    w = batch.valid.reshape(-1).astype(obs.dtype)[:, None]
+    n = jnp.maximum(w.sum(), 1.0)
+    mean = (obs * w).sum(0) / n
+    var = (jnp.square(obs - mean) * w).sum(0) / n
+    scale = jnp.maximum(jnp.sqrt(var), scale_min)
+    transforms = {**state.transforms, "in_shift": mean, "in_scale": scale}
+    return state.replace(transforms=transforms)
 
 
 def warm_start(cfg: RunConfig, agent, policy, seed: int = 0):

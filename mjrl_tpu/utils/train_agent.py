@@ -92,6 +92,18 @@ def train_agent(
     best_state = None
     base_key = jax.random.PRNGKey(seed)
 
+    # Cumulative VALID env-step accounting — the metric-of-record axis.
+    # `num_samples` is the per-iteration count of valid (non-padded)
+    # transitions, which is what the reference counts when it reports
+    # "return @ N env steps" (variable-length paths); padded batch slots
+    # are excluded. On resume, recover the running total from the reloaded
+    # log history so the column stays monotone across restarts.
+    total_env_steps = 0.0
+    if start_iter > 0 and "total_env_steps" in logger.log and logger.log["total_env_steps"]:
+        total_env_steps = float(logger.log["total_env_steps"][-1])
+    elif start_iter > 0 and "num_samples" in logger.log:
+        total_env_steps = float(sum(logger.log["num_samples"]))
+
     for i in range(start_iter, niter):
         if profile_dir is not None and i == start_iter + 1:
             jax.profiler.start_trace(profile_dir)
@@ -126,6 +138,8 @@ def train_agent(
         row["iteration"] = i
         row["time_step"] = t_step
         row["steps_per_sec"] = row.get("num_samples", 0.0) / max(t_step, 1e-9)
+        total_env_steps += row.get("num_samples", 0.0)
+        row["total_env_steps"] = total_env_steps
 
         if eval_fn is not None:
             stats = jax.block_until_ready(

@@ -1,0 +1,90 @@
+"""Real multi-process ``jax.distributed`` smoke (SURVEY.md §5.8).
+
+Launches two OS processes, each with 4 forced CPU devices, forms a cluster
+over a local coordinator, builds the GLOBAL 8-device mesh, and runs one
+sharded NPG train step. The metrics must match a single-process
+8-virtual-device run of the same seed — proving the process-group /
+cross-process-collective code path (the only slice of multi-host that is
+testable without pod hardware; the reference's analogue is its
+multiprocessing pool, mjrl/samplers/core.py).
+
+This test runs in subprocesses so it composes with the in-process
+8-device session (conftest) without re-initializing the JAX backend.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_TOOL = os.path.join(os.path.dirname(__file__), "..", "tools", "multiproc_step.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run(num_processes: int, local_devices: int, timeout: float = 600.0):
+    port = _free_port()
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        # the tool sets its own platform/device-count flags
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                _TOOL,
+                "--coordinator",
+                f"127.0.0.1:{port}",
+                "--num-processes",
+                str(num_processes),
+                "--process-id",
+                str(i),
+                "--local-devices",
+                str(local_devices),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(num_processes)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"process failed:\n{out}"
+    metrics = None
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("METRICS "):
+                metrics = json.loads(line[len("METRICS "):])
+    assert metrics is not None, f"no METRICS line:\n{outs}"
+    return metrics
+
+
+@pytest.mark.slow
+def test_two_process_cluster_matches_single_process():
+    m2 = _run(num_processes=2, local_devices=4)
+    m1 = _run(num_processes=1, local_devices=8)
+    for k in ("stoc_pol_mean", "running_score", "num_samples"):
+        np.testing.assert_allclose(m2[k], m1[k], rtol=1e-4, atol=1e-5, err_msg=k)
+    assert np.isfinite(m2["kl_dist"]) and np.isfinite(m2["alpha"])
