@@ -31,8 +31,16 @@ ENV_AXIS = "env"
 
 
 def initialize_distributed(**kwargs: Any) -> None:
-    """``jax.distributed.initialize`` wrapper (no-op if single-process)."""
-    if jax.process_count() == 1 and not kwargs:
+    """``jax.distributed.initialize`` wrapper (no-op if single-process).
+
+    Must run before ANY backend-initializing jax call; in particular it
+    must NOT probe ``jax.process_count()`` first — that call initializes
+    the backend and makes the subsequent ``initialize`` raise (the exact
+    bug the 2-process test in tests/test_multiprocess.py pins down).
+    Without kwargs (no coordinator configured) this is a single-process
+    run and there is nothing to initialize.
+    """
+    if not kwargs:
         return
     jax.distributed.initialize(**kwargs)
 

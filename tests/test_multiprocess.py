@@ -37,8 +37,10 @@ def _run(num_processes: int, local_devices: int, timeout: float = 600.0):
     env = {
         k: v
         for k, v in os.environ.items()
-        # the tool sets its own platform/device-count flags
-        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+        # the tool sets its own platform/device-count flags; the axon
+        # sitecustomize hook must be disabled (PALLAS_AXON_POOL_IPS) or it
+        # initializes a backend before jax.distributed.initialize can run
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
     }
     procs = [
         subprocess.Popen(

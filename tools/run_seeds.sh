@@ -29,7 +29,7 @@ run_one() {
         echo "=== $(date -u +%H:%M:%S) ${OUT}: stalled ${GRACE}s, kill+retry ==="
         kill $PID 2>/dev/null; sleep 5; kill -9 $PID 2>/dev/null
         wait $PID 2>/dev/null
-        sleep 45   # let the far-end session/grant expire
+        sleep 90   # let the far-end session/grant expire
         continue 2
       fi
     done
