@@ -73,5 +73,17 @@ class PointMassEnv(Env):
         info: Dict[str, jax.Array] = {"success": success}
         return new_state, self._obs(new_state), reward, terminated, info
 
+    # -- model-based acceleration hooks (algos/model_npg.py) ----------------
+    # The reward is a function of (a, next_obs) alone, so imagined rollouts
+    # through a learned dynamics model can score themselves (the reference's
+    # model_accel needs the same per-task reward function).
+    def reward_from_obs(self, obs, action, next_obs):
+        a = jnp.clip(action, -1.0, 1.0)
+        dist = jnp.linalg.norm(next_obs[..., 4:6], axis=-1)
+        return -dist - self.ctrl_cost * jnp.sum(jnp.square(a), axis=-1)
+
+    def terminated_from_obs(self, next_obs):
+        return jnp.zeros(next_obs.shape[:-1], dtype=bool)
+
 
 register("point_mass", PointMassEnv)

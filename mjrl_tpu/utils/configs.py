@@ -15,7 +15,7 @@ import os
 from typing import Any, Dict, Optional, Tuple
 
 from mjrl_tpu import envs
-from mjrl_tpu.algos import DAPG, NPG, PPO, TRPO, BatchREINFORCE
+from mjrl_tpu.algos import DAPG, NPG, PPO, TRPO, BatchREINFORCE, ModelAccelNPG
 from mjrl_tpu.models import (
     GaussianLinear,
     GaussianMLP,
@@ -31,6 +31,7 @@ ALGOS = {
     "trpo": TRPO,
     "ppo": PPO,
     "dapg": DAPG,
+    "model_npg": ModelAccelNPG,
 }
 BASELINES = {
     "zero": ZeroBaseline,

@@ -9,6 +9,22 @@ CFG=$1; OUT=$2; shift 2
 GRACE=${GRACE:-420}
 RETRIES=${RETRIES:-4}
 
+# Skip jobs that already completed (log rows >= configured niter): a queue
+# restart must not claim the chip just to discover there is nothing to do.
+if [ -f "${OUT}/logs/log.jsonl" ] && [ -f "${OUT}/config.json" ]; then
+  if python - "$OUT" <<'PYEOF'
+import json, sys
+out = sys.argv[1]
+niter = json.load(open(f"{out}/config.json")).get("niter", 0)
+rows = sum(1 for _ in open(f"{out}/logs/log.jsonl"))
+sys.exit(0 if rows >= niter else 1)
+PYEOF
+  then
+    echo "=== ${OUT}: already complete, skipping ==="
+    exit 0
+  fi
+fi
+
 for attempt in $(seq 1 $RETRIES); do
   echo "=== $(date -u +%H:%M:%S) start ${OUT} (attempt ${attempt}) ==="
   if [ $# -gt 0 ]; then
