@@ -15,31 +15,11 @@ from mjrl_tpu.utils.configs import RunConfig, build, obs_norm_init, warm_start
 from mjrl_tpu.utils.train_agent import train_agent
 
 
-def main() -> None:
-    p = argparse.ArgumentParser(description="mjrl_tpu policy optimization job")
-    p.add_argument("--output", required=True, help="job directory")
-    p.add_argument("--config", default=None, help="JSON config path")
-    p.add_argument(
-        "--set",
-        nargs="*",
-        default=[],
-        metavar="KEY=VALUE",
-        help="config overrides, JSON-parsed values (e.g. niter=50)",
-    )
-    args = p.parse_args()
-
-    raw = {}
-    if args.config:
-        with open(args.config) as f:
-            raw = json.load(f)
-    for kv in args.set:
-        k, _, v = kv.partition("=")
-        try:
-            raw[k] = json.loads(v)
-        except json.JSONDecodeError:
-            raw[k] = v
-    cfg = RunConfig.from_dict(raw)
-    cfg.to_json(os.path.join(args.output, "config.json"))
+def run_job(cfg: RunConfig, output: str) -> None:
+    """Build env/policy/baseline/agent from a config and train into
+    ``output``. Reentrant: safe to call several times in one process (the
+    TPU-queue runner uses this so a job sequence claims the chip ONCE)."""
+    cfg.to_json(os.path.join(output, "config.json"))
     _, policy, _, agent = build(cfg)
     init_state = None
     if cfg.bc_init:
@@ -55,7 +35,7 @@ def main() -> None:
             jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 2),
         )
     train_agent(
-        args.output,
+        output,
         agent,
         seed=cfg.seed,
         niter=cfg.niter,
@@ -64,6 +44,35 @@ def main() -> None:
         plot_keys=cfg.plot_keys,
         init_state=init_state,
     )
+
+
+def load_config(config_path=None, overrides=()) -> RunConfig:
+    raw = {}
+    if config_path:
+        with open(config_path) as f:
+            raw = json.load(f)
+    for kv in overrides:
+        k, _, v = kv.partition("=")
+        try:
+            raw[k] = json.loads(v)
+        except json.JSONDecodeError:
+            raw[k] = v
+    return RunConfig.from_dict(raw)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="mjrl_tpu policy optimization job")
+    p.add_argument("--output", required=True, help="job directory")
+    p.add_argument("--config", default=None, help="JSON config path")
+    p.add_argument(
+        "--set",
+        nargs="*",
+        default=[],
+        metavar="KEY=VALUE",
+        help="config overrides, JSON-parsed values (e.g. niter=50)",
+    )
+    args = p.parse_args()
+    run_job(load_config(args.config, args.set), args.output)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Run a sequence of training jobs in ONE python process.
+
+The tunneled single-chip backend loses chip claims when processes churn
+(every new python process re-claims; a claim racing the previous release
+sleeps forever — see tools/run_job.sh). Running the whole campaign inside
+one process claims the chip exactly once and eliminates the race class.
+
+Queue file: one job per line, ``<config.json> <output_dir> [key=value ...]``,
+``#`` comments allowed. Jobs whose log already has >= niter rows are
+skipped, so a killed queue can simply be relaunched.
+
+    python tools/tpu_queue.py queue.txt
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def job_complete(output: str) -> bool:
+    cfg_path = os.path.join(output, "config.json")
+    log_path = os.path.join(output, "logs", "log.csv")
+    if not (os.path.exists(cfg_path) and os.path.exists(log_path)):
+        return False
+    try:
+        niter = json.load(open(cfg_path)).get("niter", 0)
+        with open(log_path) as f:
+            rows = sum(1 for _ in f) - 1
+        return rows >= niter
+    except Exception:
+        return False
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    lines = []
+    with open(sys.argv[1]) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                lines.append(line.split())
+
+    from mjrl_tpu.train import load_config, run_job
+
+    failures = 0
+    for parts in lines:
+        cfg_path, output, overrides = parts[0], parts[1], parts[2:]
+        if job_complete(output):
+            print(f"[queue] {output}: already complete, skipping", flush=True)
+            continue
+        print(f"[queue] start {output} ({cfg_path})", flush=True)
+        try:
+            run_job(load_config(cfg_path, overrides), output)
+            print(f"[queue] done {output}", flush=True)
+        except Exception:
+            failures += 1
+            print(f"[queue] FAILED {output}:\n{traceback.format_exc()}",
+                  flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
