@@ -82,7 +82,7 @@ def test_soa_matches_engine_one_substep(name):
     np.testing.assert_allclose(got_qd.T, out_ref.qd, rtol=2e-3, atol=2e-3)
 
 
-@pytest.mark.parametrize("name", ["ant", "hopper"])
+@pytest.mark.parametrize("name", ["hopper", pytest.param("ant", marks=_slow)])
 def test_soa_multistep_matches_engine_frame(name):
     """A full control frame (n_substeps) stays within drift tolerance."""
     env = envs.make(name, horizon=32)
@@ -103,7 +103,10 @@ def test_soa_multistep_matches_engine_frame(name):
 
 
 def test_soa_fori_loop_matches_unrolled():
-    env = envs.make("ant", horizon=32)
+    # hopper: the unrolled side of this test lowers n_frames*n_substeps
+    # copies of the substep — on ant that alone is ~4 min of XLA:CPU
+    # compile for a property (fori == unroll) that is model-independent
+    env = envs.make("hopper", horizon=32)
     model = env.model
     B = 4
     st = _warm_states(env, B, jax.random.PRNGKey(4))
