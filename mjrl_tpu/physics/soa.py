@@ -896,7 +896,7 @@ def substep(model: Model, q: jax.Array, qd: jax.Array, ctrl: jax.Array, dt: floa
 
             qdd0 = _ltdl_solve(model, tab, M, rhs, dt, None)
             qdd = soa_newton.constrained_qdd(
-                model, tab, pos, quat, cdof, M, q, qd, qdd0, candidates, dt
+                model, pos, cdof, M, q, qd, qdd0, candidates, dt
             )
         else:
             qdd = _ltdl_solve(

@@ -159,9 +159,7 @@ def _point_jac(model: Model, cdof, link: int, r) -> Dict[int, jax.Array]:
     return out
 
 
-def _contact_rows(
-    model: Model, pos, quat, cdof, q, qd, candidates
-) -> List[_Row]:
+def _contact_rows(model: Model, pos, cdof, qd, candidates) -> List[_Row]:
     from mjrl_tpu.physics.soa import _cross, _dot
 
     gcd = (
@@ -325,9 +323,7 @@ _ALPHAS = (1.0, 0.5, 0.25, 0.0625, 0.0)  # csolve's safeguarded fractions
 
 def constrained_qdd(
     model: Model,
-    tab,
     pos,
-    quat,
     cdof,
     M: Dict[Tuple[int, int], jax.Array],
     q: jax.Array,
@@ -346,7 +342,7 @@ def constrained_qdd(
     ensure_solver_params(model)
     nv = model.nv
     rows = _limit_rows(model, q, qd) + _contact_rows(
-        model, pos, quat, cdof, q, qd, candidates
+        model, pos, cdof, qd, candidates
     )
     if not rows:
         return qdd0

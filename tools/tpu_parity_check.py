@@ -36,8 +36,16 @@ def main() -> None:
     from mjrl_tpu import envs
 
     failures = []
-    for name in envs.registered_envs():
-        env = envs.make(name, horizon=n_steps + 1)
+    # every registered env, plus the Newton-constraint variants of the two
+    # locomotion envs that train on them (soa_newton.py TPU codegen check)
+    cases = [(name, {}) for name in envs.registered_envs()]
+    cases += [
+        ("hopper", {"constraint_solver": "newton"}),
+        ("walker2d", {"constraint_solver": "newton"}),
+    ]
+    for name, kw in cases:
+        label = name + ("+newton" if kw else "")
+        env = envs.make(name, horizon=n_steps + 1, **kw)
         keys = jax.random.split(jax.random.PRNGKey(0), B)
 
         def run(dev):
@@ -66,10 +74,10 @@ def main() -> None:
             float(np.abs(np.asarray(c)).max()) for c in leaves_c
         )
         ok = d <= 1e-4 + 1e-4 * scale
-        print(f"{name:16s} max|state diff| {d:.3e}  (state scale {scale:.2e})"
+        print(f"{label:20s} max|state diff| {d:.3e}  (state scale {scale:.2e})"
               f"  {'OK' if ok else 'FAIL'}")
         if not ok:
-            failures.append(name)
+            failures.append(label)
     if failures:
         raise SystemExit(f"backend parity FAILED for: {failures}")
     print("all envs: TPU and CPU agree")
