@@ -33,6 +33,7 @@ from mjrl_tpu.models.gaussian_mlp import GaussianMLP, PolicyParams
 from mjrl_tpu.ops.distributions import DiagGaussian
 from mjrl_tpu.ops.gae import compute_advantages, compute_returns, masked_mean_std
 from mjrl_tpu.samplers.rollout import (
+    init_autoreset_carry,
     rollout_statistics,
     sample_autoreset,
     sample_episodes,
@@ -107,6 +108,15 @@ class BatchREINFORCE:
         # GSPMD partitions rollout/GAE/update accordingly (parallel/mesh.py).
         self.mesh = mesh
         self._jitted_train_step = None
+        # Persistent auto-reset sampler carry (samples mode): env states
+        # survive across train steps so short per-iteration windows still
+        # visit the FULL episode state distribution (the reference's
+        # sample_data_batch collects whole episodes; always re-resetting
+        # would confine training to the first num_steps states of every
+        # episode). Held on the agent, not in AgentState: it is on-policy
+        # rollout state, cheap to re-create after a restart, and keeping it
+        # out of the checkpoint preserves restore compatibility.
+        self._sampler_carry = None
 
     # -- state --------------------------------------------------------------
     def init(self, key: jax.Array) -> AgentState:
@@ -206,6 +216,40 @@ class BatchREINFORCE:
             eval_mode=eval_mode,
         )
 
+    def init_sampler_carry(self, key: jax.Array):
+        """Fresh persistent-sampler carry (samples mode only, else None)."""
+        if self.sample_mode != "samples":
+            return None
+        carry = init_autoreset_carry(self.env, key, self.num_traj)
+        if self.mesh is not None:
+            from mjrl_tpu.parallel.mesh import shard_env_pytree
+
+            carry = shard_env_pytree(carry, self.mesh)
+        return carry
+
+    def sample_batch_carry(
+        self, state: AgentState, key: jax.Array, carry: Any
+    ):
+        """Samples-mode sampling continuing from ``carry`` (persistent envs)."""
+        num_steps = -(-int(self.num_samples) // self.num_traj)
+        batch, carry = sample_autoreset(
+            self.env,
+            self.policy,
+            state.params,
+            state.transforms,
+            key,
+            self.num_traj,
+            num_steps,
+            episode_horizon=self.horizon,
+            carry=carry,
+        )
+        if self.mesh is not None:
+            from mjrl_tpu.parallel.mesh import shard_env_pytree
+
+            batch = shard_env_pytree(batch, self.mesh)
+            carry = shard_env_pytree(carry, self.mesh)
+        return batch, carry
+
     def process_batch(
         self, state: AgentState, batch: TrajectoryBatch
     ) -> TrajectoryBatch:
@@ -258,16 +302,43 @@ class BatchREINFORCE:
         """
         k_sample, k_update, k_fit = jax.random.split(key, 3)
         batch = self.sample_batch(state, k_sample)
+        return self._finish_train_step(state, batch, k_update, k_fit)
+
+    def train_step_carry(
+        self, state: AgentState, key: jax.Array, sampler_carry: Any
+    ):
+        """Samples-mode train step with a persistent sampler carry.
+
+        Same as :meth:`train_step` but env rows continue from where the last
+        iteration left them instead of re-resetting — returns
+        ``(state, metrics, new_carry)``.
+        """
+        k_sample, k_update, k_fit = jax.random.split(key, 3)
+        batch, sampler_carry = self.sample_batch_carry(state, k_sample, sampler_carry)
+        state, metrics = self._finish_train_step(state, batch, k_update, k_fit)
+        return state, metrics, sampler_carry
+
+    def _finish_train_step(
+        self, state: AgentState, batch: TrajectoryBatch, k_update, k_fit
+    ) -> Tuple[AgentState, Dict[str, jax.Array]]:
         batch = self.process_batch(state, batch)
         state, update_metrics = self.update(state, batch, k_update)
         baseline_state, vf_metrics = self.baseline.fit(
             state.baseline_state, batch, k_fit
         )
         stats = rollout_statistics(batch)
+        # EMA over per-episode scores; a short auto-reset window that
+        # completed NO episode must not dilute the EMA with zeros (episode
+        # mode always completes every row, so this guard is a no-op there).
+        has_ep = stats.num_episodes > 0
         running = jnp.where(
             state.iteration == 0,
-            stats.mean,
-            0.9 * state.running_score + 0.1 * stats.mean,
+            jnp.where(has_ep, stats.mean, 0.0),
+            jnp.where(
+                has_ep,
+                0.9 * state.running_score + 0.1 * stats.mean,
+                state.running_score,
+            ),
         )
         state = state.replace(
             baseline_state=baseline_state,
@@ -290,5 +361,28 @@ class BatchREINFORCE:
     @property
     def jitted_train_step(self):
         if self._jitted_train_step is None:
-            self._jitted_train_step = jax.jit(self.train_step)
+            if self.sample_mode == "samples":
+                inner = jax.jit(self.train_step_carry)
+
+                def step(state, key):
+                    if self._sampler_carry is None:
+                        self._sampler_carry = self.init_sampler_carry(
+                            jax.random.fold_in(key, 0x5A17)
+                        )
+                    try:
+                        state, metrics, self._sampler_carry = inner(
+                            state, key, self._sampler_carry
+                        )
+                    except Exception:
+                        # A failed step may have poisoned the carry arrays;
+                        # drop it so the harness's retry re-initializes
+                        # (one window of fresh-reset data, then back on
+                        # distribution).
+                        self._sampler_carry = None
+                        raise
+                    return state, metrics
+
+                self._jitted_train_step = step
+            else:
+                self._jitted_train_step = jax.jit(self.train_step)
         return self._jitted_train_step

@@ -51,12 +51,18 @@ class PPO(BatchREINFORCE):
         epochs: int = 10,
         mb_size: int = 64,
         learn_rate: float = 3e-4,
+        entropy_coef: float = 0.0,
         **kwargs: Any,
     ):
         super().__init__(env, policy, baseline, learn_rate=learn_rate, **kwargs)
         self.clip_coef = clip_coef
         self.epochs = epochs
         self.mb_size = mb_size
+        # Optional entropy bonus (default 0 = reference-exact objective):
+        # with a state-independent learned log_std, PPO's clip objective can
+        # collapse exploration prematurely on hard tasks; a small positive
+        # coefficient counteracts that.
+        self.entropy_coef = entropy_coef
         self.optimizer = optax.adam(learn_rate)
 
     def init_opt_state(self, params):
@@ -81,6 +87,9 @@ class PPO(BatchREINFORCE):
             "alpha": jnp.asarray(self.learn_rate),
             "kl_dist": kl_dist,
             "surr_improvement": surr_after - surr_before,
+            # exploration observability: a collapsing log_std is the usual
+            # silent failure of clipped-surrogate training
+            "log_std_mean": jnp.mean(params["log_std"]),
         }
 
     # -- single-device path: reference-style global shuffle ------------------
@@ -107,6 +116,9 @@ class PPO(BatchREINFORCE):
             a = adv[idx]
             clipped = jnp.clip(lr, 1.0 - self.clip_coef, 1.0 + self.clip_coef)
             obj = jnp.minimum(lr * a, clipped * a) * validf[idx]
+            if self.entropy_coef:
+                ent = DiagGaussian.entropy(new_log_std) * validf[idx]
+                obj = obj + self.entropy_coef * ent
             return -jnp.sum(obj) / jnp.maximum(jnp.sum(validf[idx]), 1.0)
 
         def epoch(carry, ekey):
@@ -143,6 +155,7 @@ class PPO(BatchREINFORCE):
         num_mb = max(m_loc // mb_loc, 1)
         transforms = state.transforms
         clip = self.clip_coef
+        ent_coef = self.entropy_coef
         policy = self.policy
         optimizer = self.optimizer
         epochs = self.epochs
@@ -178,6 +191,10 @@ class PPO(BatchREINFORCE):
                 a = adv[idx]
                 clipped = jnp.clip(lr, 1.0 - clip, 1.0 + clip)
                 obj = jnp.minimum(lr * a, clipped * a) * validf[idx]
+                if ent_coef:
+                    obj = obj + ent_coef * (
+                        DiagGaussian.entropy(new_log_std) * validf[idx]
+                    )
                 # exact global masked mean: numerator and denominator each
                 # psum once per minibatch (the ONLY cross-device traffic
                 # besides the implied gradient reduction)

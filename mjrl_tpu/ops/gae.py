@@ -86,8 +86,15 @@ def compute_gae(
     rewards = rewards * validf
     values = values * validf
 
-    # v_next[t]: next-state value used in the TD residual at step t.
-    v_next = jnp.concatenate([values[:, 1:], jnp.zeros_like(values[:, :1])], axis=1)
+    # v_next[t]: next-state value used in the TD residual at step t. The
+    # final column pads with the row's own last value, NOT zero: a window
+    # that cuts an episode mid-flight (auto-reset sampling with
+    # num_steps < horizon) is a truncation, and mjrl's truncated paths
+    # bootstrap with ``b[-1]`` — the last state's value. Padding with zero
+    # would hand every window tail a spuriously huge negative advantage.
+    # (In episode mode every live row ends with done=True at t=T-1, so the
+    # pad value is overwritten by the `done` select and nothing changes.)
+    v_next = jnp.concatenate([values[:, 1:], values[:, -1:]], axis=1)
     v_next = jnp.where(done, jnp.where(terminated, 0.0, values), v_next)
     deltas = (rewards + gamma * v_next - values) * validf
 

@@ -112,6 +112,19 @@ def sample_episodes(
     return _to_batch(traj)
 
 
+def init_autoreset_carry(env: Env, key: jax.Array, num_envs: int):
+    """Fresh sampler carry for :func:`sample_autoreset`'s persistent mode.
+
+    ``(env_states, obs, t_in_ep, ep_return, ep_success)`` — the last two are
+    running per-episode accumulators so episode scores stay correct when an
+    episode spans several sampling windows.
+    """
+    reset_keys = jax.random.split(key, num_envs)
+    env_states, obs = jax.vmap(env.reset)(reset_keys)
+    zeros = jnp.zeros((num_envs,))
+    return (env_states, obs, jnp.zeros((num_envs,), jnp.int32), zeros, zeros)
+
+
 def sample_autoreset(
     env: Env,
     policy: GaussianMLP,
@@ -122,16 +135,28 @@ def sample_autoreset(
     num_steps: int,
     episode_horizon: Optional[int] = None,
     eval_mode: bool = False,
-) -> TrajectoryBatch:
-    """Continuous rows with in-scan auto-reset — every transition is valid."""
+    carry: Optional[Tuple[Any, jax.Array, jax.Array]] = None,
+) -> Any:
+    """Continuous rows with in-scan auto-reset — every transition is valid.
+
+    With ``carry=None`` every call starts all envs from reset and returns just
+    the batch (the stateless form). Passing a carry (from
+    :func:`init_autoreset_carry` or a previous call) makes the rows PERSIST
+    across calls — essential when ``num_steps`` is much smaller than the
+    episode horizon, otherwise training only ever visits the first
+    ``num_steps`` states of any episode (the round-1 humanoid-PPO failure
+    mode). This matches the reference's ``sample_data_batch``, whose paths
+    cover the full episode distribution. Returns ``(batch, new_carry)``.
+    """
     H = episode_horizon or env.spec.horizon
     key_reset, key_scan = jax.random.split(key)
-    reset_keys = jax.random.split(key_reset, num_envs)
-    env_states, obs = jax.vmap(env.reset)(reset_keys)
-    t_in_ep0 = jnp.zeros((num_envs,), jnp.int32)
+    if carry is None:
+        carry_in = init_autoreset_carry(env, key_reset, num_envs)
+    else:
+        carry_in = carry
 
-    def step_fn(carry, _):
-        env_states, obs, t_in_ep, key = carry
+    def step_fn(scan_carry, _):
+        env_states, obs, t_in_ep, ep_ret, ep_suc, key = scan_carry
         key, k_act, k_reset = jax.random.split(key, 3)
         mean, log_std = policy.apply(params, transforms, obs)
         if eval_mode:
@@ -150,6 +175,17 @@ def sample_autoreset(
         next_states = _select_tree(done_t, reset_states, new_states)
         next_obs = jnp.where(done_t[:, None], reset_obs, new_obs)
         next_t = jnp.where(done_t, 0, t_in_ep + 1)
+        # Whole-episode score/success accumulators: emitted at done so
+        # statistics stay correct when an episode spans several windows.
+        ret_acc = ep_ret + reward
+        if "success" in info:
+            suc_acc = jnp.maximum(ep_suc, info["success"].astype(ep_suc.dtype))
+            info = {**info, "episode_success": jnp.where(done_t, suc_acc, 0.0)}
+        else:
+            suc_acc = ep_suc
+        info = {**info, "episode_score": jnp.where(done_t, ret_acc, 0.0)}
+        next_ret = jnp.where(done_t, 0.0, ret_acc)
+        next_suc = jnp.where(done_t, 0.0, suc_acc)
         out = dict(
             obs=obs,
             action=action,
@@ -163,12 +199,15 @@ def sample_autoreset(
             time=t_in_ep,
             info=info,
         )
-        return (next_states, next_obs, next_t, key), out
+        return (next_states, next_obs, next_t, next_ret, next_suc, key), out
 
-    _, traj = jax.lax.scan(
-        step_fn, (env_states, obs, t_in_ep0, key_scan), None, length=num_steps
+    (env_states, obs, t_in_ep, ep_ret, ep_suc, _), traj = jax.lax.scan(
+        step_fn, carry_in + (key_scan,), None, length=num_steps
     )
-    return _to_batch(traj)
+    batch = _to_batch(traj)
+    if carry is None:
+        return batch
+    return batch, (env_states, obs, t_in_ep, ep_ret, ep_suc)
 
 
 def _to_batch(traj: Dict[str, Any]) -> TrajectoryBatch:
@@ -217,29 +256,44 @@ def rollout_statistics(batch: TrajectoryBatch) -> RolloutStats:
     validf = batch.valid.astype(batch.rewards.dtype)
     rewards = batch.rewards * validf
 
-    # Per-episode accumulation: forward scan summing rewards, emitting at done.
-    def step(carry, xs):
-        r_t, done_t = xs
-        acc = carry + r_t
-        out = jnp.where(done_t, acc, 0.0)
-        carry = jnp.where(done_t, 0.0, acc)
-        return carry, (out, done_t)
+    if "episode_score" in batch.env_info:
+        # Persistent auto-reset sampling emits the WHOLE episode's return at
+        # each done (accumulated across windows in the sampler carry) — the
+        # in-window scan below would under-count episodes spanning windows.
+        scores = batch.env_info["episode_score"] * validf
+    else:
+        # Per-episode accumulation: forward scan summing rewards, emitting
+        # at done.
+        def step(carry, xs):
+            r_t, done_t = xs
+            acc = carry + r_t
+            out = jnp.where(done_t, acc, 0.0)
+            carry = jnp.where(done_t, 0.0, acc)
+            return carry, (out, done_t)
 
-    _, (scores, done_flags) = jax.lax.scan(
-        step,
-        jnp.zeros(rewards.shape[0], rewards.dtype),
-        (rewards.T, batch.done.T),
-    )
-    scores = scores.T  # (N, T), nonzero only at episode ends
+        _, (scores, _) = jax.lax.scan(
+            step,
+            jnp.zeros(rewards.shape[0], rewards.dtype),
+            (rewards.T, batch.done.T),
+        )
+        scores = scores.T  # (N, T), nonzero only at episode ends
     done = batch.done
-    n_ep = jnp.maximum(jnp.sum(done.astype(rewards.dtype)), 1.0)
+    raw_ep = jnp.sum(done.astype(rewards.dtype))
+    n_ep = jnp.maximum(raw_ep, 1.0)
+    has_ep = raw_ep > 0
     mean = jnp.sum(scores) / n_ep
     var = jnp.sum(jnp.where(done, jnp.square(scores - mean), 0.0)) / n_ep
     big = jnp.asarray(jnp.finfo(rewards.dtype).max, rewards.dtype)
-    mx = jnp.max(jnp.where(done, scores, -big))
-    mn = jnp.min(jnp.where(done, scores, big))
+    # a short auto-reset window may complete no episode at all; report 0
+    # rather than +/-float-max sentinels
+    mx = jnp.where(has_ep, jnp.max(jnp.where(done, scores, -big)), 0.0)
+    mn = jnp.where(has_ep, jnp.min(jnp.where(done, scores, big)), 0.0)
 
-    if "success" in batch.env_info:
+    if "episode_success" in batch.env_info:
+        success_rate = (
+            100.0 * jnp.sum(batch.env_info["episode_success"] * validf) / n_ep
+        )
+    elif "success" in batch.env_info:
         succ = batch.env_info["success"] * validf
 
         def sstep(carry, xs):
@@ -262,5 +316,5 @@ def rollout_statistics(batch: TrajectoryBatch) -> RolloutStats:
         max=mx,
         min=mn,
         success_rate=success_rate,
-        num_episodes=n_ep,
+        num_episodes=raw_ep,
     )

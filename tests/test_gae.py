@@ -137,3 +137,29 @@ def test_masked_mean_std_ignores_padding():
     mean, std = masked_mean_std(x, valid)
     np.testing.assert_allclose(np.asarray(mean), 2.5, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(std), np.std([1, 2, 3, 4]), rtol=1e-4)
+
+
+def test_gae_window_tail_bootstraps_with_last_value():
+    """A window that cuts an episode mid-flight (auto-reset sampling with
+    num_steps < horizon) must bootstrap its tail with the last state's value
+    (mjrl's truncated-path ``b[-1]`` semantics), not zero — a zero pad hands
+    every window tail a huge negative advantage on high-value tasks."""
+    import jax.numpy as jnp
+
+    from mjrl_tpu.ops.gae import compute_gae
+
+    rewards = jnp.array([[1.0, 1.0, 1.0]])
+    values = jnp.array([[10.0, 11.0, 12.0]])
+    done = jnp.zeros((1, 3), bool)          # window ends mid-episode
+    terminated = jnp.zeros((1, 3), bool)
+    valid = jnp.ones((1, 3), bool)
+    gamma, lam = 0.9, 0.8
+    adv = np.asarray(
+        compute_gae(rewards, values, done, terminated, valid, gamma, lam)
+    )[0]
+    # hand-rolled: v_next = [11, 12, 12 (self-bootstrap)]
+    d = [1 + 0.9 * 11 - 10, 1 + 0.9 * 12 - 11, 1 + 0.9 * 12 - 12]
+    exp2 = d[2]
+    exp1 = d[1] + gamma * lam * exp2
+    exp0 = d[0] + gamma * lam * exp1
+    np.testing.assert_allclose(adv, [exp0, exp1, exp2], rtol=1e-5)

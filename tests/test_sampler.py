@@ -105,3 +105,68 @@ def test_sampler_jits():
     )
     out = f(params, jax.random.PRNGKey(0))
     assert np.isfinite(float(out))
+
+
+def test_autoreset_carry_persists_across_calls():
+    """Persistent carry: the second window continues the same episodes
+    (round-1 humanoid failure: always-fresh resets confined training to the
+    first num_steps states of every episode)."""
+    from mjrl_tpu.samplers.rollout import init_autoreset_carry
+
+    env, pol, params, tf = _setup()  # point_mass never terminates early
+    carry = init_autoreset_carry(env, jax.random.PRNGKey(0), 4)
+    b1, carry = sample_autoreset(
+        env, pol, params, tf, jax.random.PRNGKey(1), 4, num_steps=5,
+        episode_horizon=25, carry=carry,
+    )
+    b2, carry = sample_autoreset(
+        env, pol, params, tf, jax.random.PRNGKey(2), 4, num_steps=5,
+        episode_horizon=25, carry=carry,
+    )
+    t1, t2 = np.asarray(b1.time), np.asarray(b2.time)
+    assert (t1[:, 0] == 0).all() and (t1[:, -1] == 4).all()
+    assert (t2[:, 0] == 5).all() and (t2[:, -1] == 9).all()
+    # and the state genuinely carried: window-2 first obs != a fresh reset obs
+    assert not np.allclose(np.asarray(b2.observations[:, 0]),
+                           np.asarray(b1.observations[:, 0]))
+
+
+def test_autoreset_carry_respects_horizon_and_done():
+    from mjrl_tpu.samplers.rollout import init_autoreset_carry
+
+    env, pol, params, tf = _setup()
+    carry = init_autoreset_carry(env, jax.random.PRNGKey(0), 4)
+    time = []
+    for i in range(7):
+        b, carry = sample_autoreset(
+            env, pol, params, tf, jax.random.fold_in(jax.random.PRNGKey(1), i),
+            4, num_steps=5, episode_horizon=12, carry=carry,
+        )
+        time.append(np.asarray(b.time))
+    time = np.concatenate(time, axis=1)  # (4, 35)
+    done_expected = (time == 11)
+    assert (time < 12).all()
+    # after in-episode time 11 (horizon 12) the row resets to 0
+    for i in range(4):
+        for t in range(34):
+            assert time[i, t + 1] == (0 if done_expected[i, t] else time[i, t] + 1)
+
+
+def test_agent_jitted_step_threads_sampler_carry():
+    """samples-mode jitted_train_step keeps env rows alive across iterations."""
+    from mjrl_tpu.algos.base import BatchREINFORCE
+    from mjrl_tpu.models.baselines import ZeroBaseline
+
+    env, pol, params, tf = _setup()
+    agent = BatchREINFORCE(
+        env, pol, ZeroBaseline(env.spec), num_traj=4, num_samples=20,
+        sample_mode="samples", horizon=25,
+    )
+    state = agent.init(jax.random.PRNGKey(0))
+    step = agent.jitted_train_step
+    state, _ = step(state, jax.random.PRNGKey(1))
+    c1 = jax.device_get(agent._sampler_carry)
+    assert int(c1[2].min()) == 5  # t_in_ep advanced past window 1
+    state, _ = step(state, jax.random.PRNGKey(2))
+    c2 = jax.device_get(agent._sampler_carry)
+    assert int(c2[2].min()) == 10
