@@ -82,8 +82,22 @@ def train_agent(
     train_step = agent.jitted_train_step
     eval_fn = None
     if evaluation_rollouts > 0:
+        from mjrl_tpu.samplers.rollout import sample_episodes
+
         def _eval(state, key):
-            batch = agent.sample_batch(state, key, eval_mode=True)
+            # Always FULL deterministic episodes, `evaluation_rollouts` of
+            # them (reference: eval_mode=True sample_paths) — the training
+            # sampler's windows would mis-measure in samples mode.
+            batch = sample_episodes(
+                agent.env,
+                agent.policy,
+                state.params,
+                state.transforms,
+                key,
+                evaluation_rollouts,
+                agent.horizon,
+                eval_mode=True,
+            )
             return rollout_statistics(batch)
 
         eval_fn = jax.jit(_eval)

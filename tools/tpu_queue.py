@@ -8,7 +8,11 @@ one process claims the chip exactly once and eliminates the race class.
 
 Queue file: one job per line, ``<config.json> <output_dir> [key=value ...]``,
 ``#`` comments allowed. Jobs whose log already has >= niter rows are
-skipped, so a killed queue can simply be relaunched.
+skipped, so a killed queue can simply be relaunched. A line starting with
+``!`` runs as a shell command instead (e.g. exporting demos between an
+expert job and the DAPG job that consumes them — run such steps on CPU so
+they don't fight this process's chip claim); a failing shell step aborts
+the remaining queue since later jobs likely depend on it.
 
     python tools/tpu_queue.py queue.txt
 """
@@ -45,12 +49,23 @@ def main() -> None:
         for line in f:
             line = line.strip()
             if line and not line.startswith("#"):
-                lines.append(line.split())
+                lines.append(line)
 
     from mjrl_tpu.train import load_config, run_job
 
     failures = 0
-    for parts in lines:
+    for line in lines:
+        if line.startswith("!"):
+            import subprocess
+
+            cmd = line[1:].strip()
+            print(f"[queue] shell: {cmd}", flush=True)
+            rc = subprocess.call(cmd, shell=True)
+            if rc != 0:
+                print(f"[queue] shell step rc={rc}; aborting queue", flush=True)
+                sys.exit(1)
+            continue
+        parts = line.split()
         cfg_path, output, overrides = parts[0], parts[1], parts[2:]
         if job_complete(output):
             print(f"[queue] {output}: already complete, skipping", flush=True)
