@@ -27,13 +27,19 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def job_complete(output: str) -> bool:
+def job_complete(output: str, overrides=()) -> bool:
     cfg_path = os.path.join(output, "config.json")
     log_path = os.path.join(output, "logs", "log.csv")
     if not (os.path.exists(cfg_path) and os.path.exists(log_path)):
         return False
     try:
         niter = json.load(open(cfg_path)).get("niter", 0)
+        # an explicit niter override on the queue line wins over the stale
+        # config.json (the continuation-run case: "resume s0 to 1200 iters")
+        for kv in overrides:
+            k, _, v = kv.partition("=")
+            if k == "niter":
+                niter = int(float(v))
         with open(log_path) as f:
             rows = sum(1 for _ in f) - 1
         return rows >= niter
@@ -67,7 +73,7 @@ def main() -> None:
             continue
         parts = line.split()
         cfg_path, output, overrides = parts[0], parts[1], parts[2:]
-        if job_complete(output):
+        if job_complete(output, overrides):
             print(f"[queue] {output}: already complete, skipping", flush=True)
             continue
         print(f"[queue] start {output} ({cfg_path})", flush=True)
