@@ -170,3 +170,33 @@ def test_config_mesh_devices_builds_sharded_agent():
     state = agent.init(jax.random.PRNGKey(0))
     state, metrics = jax.jit(agent.train_step)(state, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["stoc_pol_mean"]))
+
+
+def test_sharded_samples_mode_ppo_with_carry():
+    """Persistent sampler carry composes with mesh sharding: env states and
+    accumulators shard along the env axis and episodes continue across
+    windows (t_in_ep wraps at the horizon)."""
+    import numpy as np
+
+    from mjrl_tpu.algos import PPO
+    from mjrl_tpu.envs import make
+    from mjrl_tpu.models import GaussianMLP, MLPBaseline
+    from mjrl_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    env = make("point_mass")
+    pol = GaussianMLP(env.spec, hidden_sizes=(16, 16))
+    agent = PPO(
+        env, pol, MLPBaseline(env.spec, epochs=1, batch_size=64),
+        num_traj=16, num_samples=160, sample_mode="samples",
+        horizon=25, mb_size=64, epochs=2, entropy_coef=0.001, mesh=mesh,
+    )
+    state = agent.init(jax.random.PRNGKey(0))
+    step = agent.jitted_train_step
+    for i in range(3):
+        state, metrics = step(state, jax.random.PRNGKey(i))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # 3 windows x 10 steps = 30 steps; horizon 25 -> in-episode time 5
+    c = jax.device_get(agent._sampler_carry)
+    assert (np.asarray(c[2]) == 5).all()
