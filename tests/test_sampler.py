@@ -170,3 +170,33 @@ def test_agent_jitted_step_threads_sampler_carry():
     state, _ = step(state, jax.random.PRNGKey(2))
     c2 = jax.device_get(agent._sampler_carry)
     assert int(c2[2].min()) == 10
+
+
+def test_episode_scores_accumulate_across_windows():
+    """A completed episode's emitted score equals the sum of its rewards even
+    when the episode spans several persistent-carry windows."""
+    from mjrl_tpu.samplers.rollout import init_autoreset_carry
+
+    env, pol, params, tf = _setup()  # horizon 25, never terminates early
+    carry = init_autoreset_carry(env, jax.random.PRNGKey(0), 3)
+    rewards, scores, dones = [], [], []
+    for i in range(5):  # 5 windows x 10 steps = 50 steps = 2 full episodes
+        b, carry = sample_autoreset(
+            env, pol, params, tf, jax.random.fold_in(jax.random.PRNGKey(1), i),
+            3, num_steps=10, episode_horizon=25, carry=carry,
+        )
+        rewards.append(np.asarray(b.rewards))
+        scores.append(np.asarray(b.env_info["episode_score"]))
+        dones.append(np.asarray(b.done))
+    rewards = np.concatenate(rewards, axis=1)
+    scores = np.concatenate(scores, axis=1)
+    dones = np.concatenate(dones, axis=1)
+    for i in range(3):
+        ends = np.flatnonzero(dones[i])
+        np.testing.assert_array_equal(ends, [24, 49])
+        np.testing.assert_allclose(
+            scores[i, 24], rewards[i, :25].sum(), rtol=1e-5)
+        np.testing.assert_allclose(
+            scores[i, 49], rewards[i, 25:50].sum(), rtol=1e-5)
+        # score emitted ONLY at episode ends
+        assert (scores[i, dones[i] == False] == 0).all()  # noqa: E712
