@@ -227,6 +227,16 @@ class BatchREINFORCE:
             carry = shard_env_pytree(carry, self.mesh)
         return carry
 
+    def reset_sampler_carry(self) -> None:
+        """Drop the persistent sampler carry so the next step re-initializes.
+
+        Called by the harness's transient-error retry path: under async
+        dispatch a failed step's error surfaces at the metric readback, AFTER
+        the (possibly poisoned) carry arrays were already assigned — the
+        in-``step`` except clause alone cannot catch that case.
+        """
+        self._sampler_carry = None
+
     def sample_batch_carry(
         self, state: AgentState, key: jax.Array, carry: Any
     ):
@@ -253,10 +263,21 @@ class BatchREINFORCE:
     def process_batch(
         self, state: AgentState, batch: TrajectoryBatch
     ) -> TrajectoryBatch:
-        """compute_returns + compute_advantages (reference: train_step body)."""
-        rets = compute_returns(batch.rewards, batch.done, batch.valid, self.gamma)
-        batch = batch.replace(returns=rets)
+        """compute_returns + compute_advantages (reference: train_step body).
+
+        In samples mode the window tail bootstraps the MC return with the
+        baseline's value of the row's last state (documented deviation: the
+        reference's ``sample_data_batch`` collects whole episodes, so its
+        un-bootstrapped returns never truncate mid-episode; ours would, and a
+        baseline fit on truncated returns is biased low everywhere).
+        """
         values = self.baseline.predict_batch(state.baseline_state, batch)
+        bootstrap = values[:, -1] if self.sample_mode == "samples" else None
+        rets = compute_returns(
+            batch.rewards, batch.done, batch.valid, self.gamma,
+            bootstrap_value=bootstrap,
+        )
+        batch = batch.replace(returns=rets)
         batch = compute_advantages(
             batch, values, self.gamma, self.gae_lambda, normalize=False
         )
@@ -330,15 +351,22 @@ class BatchREINFORCE:
         # EMA over per-episode scores; a short auto-reset window that
         # completed NO episode must not dilute the EMA with zeros (episode
         # mode always completes every row, so this guard is a no-op there).
+        # The EMA seeds at the FIRST iteration that completes an episode —
+        # not at iteration 0 — matching the reference, which seeds with the
+        # first observed mean (in samples mode the first done can arrive
+        # many windows in; seeding with 0 would understate running_score for
+        # dozens of iterations). `running_score == 0.0` is the unseeded
+        # sentinel: it is exact only before the first episode completes.
         has_ep = stats.num_episodes > 0
+        unseeded = state.running_score == 0.0
         running = jnp.where(
-            state.iteration == 0,
-            jnp.where(has_ep, stats.mean, 0.0),
+            has_ep,
             jnp.where(
-                has_ep,
+                unseeded,
+                stats.mean,
                 0.9 * state.running_score + 0.1 * stats.mean,
-                state.running_score,
             ),
+            state.running_score,
         )
         state = state.replace(
             baseline_state=baseline_state,

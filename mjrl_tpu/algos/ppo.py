@@ -52,6 +52,8 @@ class PPO(BatchREINFORCE):
         mb_size: int = 64,
         learn_rate: float = 3e-4,
         entropy_coef: float = 0.0,
+        lr_anneal_iters: int = 0,
+        norm_adv_per_minibatch: bool = False,
         **kwargs: Any,
     ):
         super().__init__(env, policy, baseline, learn_rate=learn_rate, **kwargs)
@@ -63,7 +65,30 @@ class PPO(BatchREINFORCE):
         # collapse exploration prematurely on hard tasks; a small positive
         # coefficient counteracts that.
         self.entropy_coef = entropy_coef
-        self.optimizer = optax.adam(learn_rate)
+        # Optional modern-PPO machinery (defaults off = reference-exact;
+        # the reference's 2017-era PPO has none of these):
+        # - lr_anneal_iters > 0: linear lr decay learn_rate -> 0 over that
+        #   many train iterations (CleanRL/baselines-style annealing).
+        # - norm_adv_per_minibatch: re-standardize advantages within each
+        #   minibatch (on top of the batch-level normalization).
+        self.lr_anneal_iters = int(lr_anneal_iters)
+        self.norm_adv_per_minibatch = norm_adv_per_minibatch
+        if self.lr_anneal_iters > 0:
+            # adam(lr) == chain(scale_by_adam, scale(-lr)); splitting the
+            # -lr factor out lets the (traced) per-iteration lr multiply
+            # the normalized update without rebuilding the optimizer.
+            self.optimizer = optax.chain(
+                optax.scale_by_adam(), optax.scale(-1.0)
+            )
+        else:
+            self.optimizer = optax.adam(learn_rate)
+
+    def _lr_now(self, iteration: jax.Array) -> jax.Array:
+        """Per-iteration learning rate (a traced scalar when annealing)."""
+        if self.lr_anneal_iters <= 0:
+            return jnp.asarray(self.learn_rate)
+        frac = 1.0 - iteration.astype(jnp.float32) / self.lr_anneal_iters
+        return self.learn_rate * jnp.clip(frac, 0.0, 1.0)
 
     def init_opt_state(self, params):
         return self.optimizer.init(params)
@@ -72,10 +97,13 @@ class PPO(BatchREINFORCE):
         self, state: AgentState, batch: TrajectoryBatch, key: jax.Array
     ) -> Tuple[AgentState, Dict[str, jax.Array]]:
         surr_before = self.surrogate(state.params, state.transforms, batch)
+        lr_now = self._lr_now(state.iteration)
         if self.mesh is not None and self.mesh.devices.size > 1:
-            params, opt_state = self._minibatch_adam_sharded(state, batch, key)
+            params, opt_state = self._minibatch_adam_sharded(
+                state, batch, key, lr_now
+            )
         else:
-            params, opt_state = self._minibatch_adam(state, batch, key)
+            params, opt_state = self._minibatch_adam(state, batch, key, lr_now)
         kl_dist = self.mean_kl(params, state.params, state.transforms, batch)
         surr_after = self.surrogate(params, state.transforms, batch)
         state = state.replace(
@@ -84,7 +112,7 @@ class PPO(BatchREINFORCE):
             opt_state=opt_state,
         )
         return state, {
-            "alpha": jnp.asarray(self.learn_rate),
+            "alpha": lr_now,
             "kl_dist": kl_dist,
             "surr_improvement": surr_after - surr_before,
             # exploration observability: a collapsing log_std is the usual
@@ -94,7 +122,8 @@ class PPO(BatchREINFORCE):
 
     # -- single-device path: reference-style global shuffle ------------------
     def _minibatch_adam(
-        self, state: AgentState, batch: TrajectoryBatch, key: jax.Array
+        self, state: AgentState, batch: TrajectoryBatch, key: jax.Array,
+        lr_now: jax.Array,
     ):
         m = batch.num_envs * batch.horizon
         obs = batch.observations.reshape(m, -1)
@@ -107,6 +136,7 @@ class PPO(BatchREINFORCE):
         mb = min(self.mb_size, m)
         num_mb = max(m // mb, 1)
         transforms = state.transforms
+        anneal = self.lr_anneal_iters > 0
 
         def mb_loss(params, idx):
             new_mean, new_log_std = self.policy.apply(params, transforms, obs[idx])
@@ -114,12 +144,18 @@ class PPO(BatchREINFORCE):
                 act[idx], new_mean, new_log_std, old_mean[idx], old_log_std[idx]
             )
             a = adv[idx]
+            vf = validf[idx]
+            if self.norm_adv_per_minibatch:
+                n = jnp.maximum(jnp.sum(vf), 1.0)
+                mu = jnp.sum(a * vf) / n
+                var = jnp.sum(jnp.square(a - mu) * vf) / n
+                a = (a - mu) / (jnp.sqrt(var) + 1e-6)
             clipped = jnp.clip(lr, 1.0 - self.clip_coef, 1.0 + self.clip_coef)
-            obj = jnp.minimum(lr * a, clipped * a) * validf[idx]
+            obj = jnp.minimum(lr * a, clipped * a) * vf
             if self.entropy_coef:
-                ent = DiagGaussian.entropy(new_log_std) * validf[idx]
+                ent = DiagGaussian.entropy(new_log_std) * vf
                 obj = obj + self.entropy_coef * ent
-            return -jnp.sum(obj) / jnp.maximum(jnp.sum(validf[idx]), 1.0)
+            return -jnp.sum(obj) / jnp.maximum(jnp.sum(vf), 1.0)
 
         def epoch(carry, ekey):
             params, opt_state = carry
@@ -129,6 +165,8 @@ class PPO(BatchREINFORCE):
                 p, o = c
                 g = jax.grad(mb_loss)(p, idx)
                 updates, o = self.optimizer.update(g, o, p)
+                if anneal:
+                    updates = jax.tree.map(lambda u: u * lr_now, updates)
                 p = self.policy.project(optax.apply_updates(p, updates))
                 return (p, o), ()
 
@@ -144,7 +182,8 @@ class PPO(BatchREINFORCE):
 
     # -- sharded path: per-device shuffle, psum'd minibatch grads ------------
     def _minibatch_adam_sharded(
-        self, state: AgentState, batch: TrajectoryBatch, key: jax.Array
+        self, state: AgentState, batch: TrajectoryBatch, key: jax.Array,
+        lr_now: jax.Array,
     ):
         mesh = self.mesh
         D = int(mesh.devices.size)
@@ -156,6 +195,8 @@ class PPO(BatchREINFORCE):
         transforms = state.transforms
         clip = self.clip_coef
         ent_coef = self.entropy_coef
+        norm_adv_mb = self.norm_adv_per_minibatch
+        anneal = self.lr_anneal_iters > 0
         policy = self.policy
         optimizer = self.optimizer
         epochs = self.epochs
@@ -173,10 +214,10 @@ class PPO(BatchREINFORCE):
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P(), P(), (env_spec,) * len(data), P()),
+            in_specs=(P(), P(), (env_spec,) * len(data), P(), P()),
             out_specs=P(),
         )
-        def run(params, opt_state, local, key):
+        def run(params, opt_state, local, key, lr_now):
             obs, act, adv, omean, olstd, validf = (
                 x.reshape((m_loc,) + x.shape[2:]) for x in local
             )
@@ -189,17 +230,28 @@ class PPO(BatchREINFORCE):
                     act[idx], new_mean, new_log_std, omean[idx], olstd[idx]
                 )
                 a = adv[idx]
+                vf = validf[idx]
+                if norm_adv_mb:
+                    # global (cross-shard) minibatch moments so the
+                    # normalization matches the single-device semantics —
+                    # three scalar psums per minibatch
+                    n = jnp.maximum(jax.lax.psum(jnp.sum(vf), ENV_AXIS), 1.0)
+                    mu = jax.lax.psum(jnp.sum(a * vf), ENV_AXIS) / n
+                    var = jax.lax.psum(
+                        jnp.sum(jnp.square(a - mu) * vf), ENV_AXIS
+                    ) / n
+                    a = (a - mu) / (jnp.sqrt(var) + 1e-6)
                 clipped = jnp.clip(lr, 1.0 - clip, 1.0 + clip)
-                obj = jnp.minimum(lr * a, clipped * a) * validf[idx]
+                obj = jnp.minimum(lr * a, clipped * a) * vf
                 if ent_coef:
                     obj = obj + ent_coef * (
-                        DiagGaussian.entropy(new_log_std) * validf[idx]
+                        DiagGaussian.entropy(new_log_std) * vf
                     )
                 # exact global masked mean: numerator and denominator each
                 # psum once per minibatch (the ONLY cross-device traffic
                 # besides the implied gradient reduction)
                 num = jax.lax.psum(jnp.sum(obj), ENV_AXIS)
-                den = jax.lax.psum(jnp.sum(validf[idx]), ENV_AXIS)
+                den = jax.lax.psum(jnp.sum(vf), ENV_AXIS)
                 return -num / jnp.maximum(den, 1.0)
 
             def epoch(carry, ekey):
@@ -212,6 +264,8 @@ class PPO(BatchREINFORCE):
                     p, o = c
                     g = jax.grad(mb_loss)(p, idx)
                     updates, o = optimizer.update(g, o, p)
+                    if anneal:
+                        updates = jax.tree.map(lambda u: u * lr_now, updates)
                     p = policy.project(optax.apply_updates(p, updates))
                     return (p, o), ()
 
@@ -223,4 +277,4 @@ class PPO(BatchREINFORCE):
             )
             return params, opt_state
 
-        return run(state.params, state.opt_state, data, key)
+        return run(state.params, state.opt_state, data, key, lr_now)

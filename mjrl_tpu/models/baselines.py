@@ -157,6 +157,7 @@ class MLPBaseline(Baseline):
         batch_size: int = 64,
         epochs: int = 1,
         hidden_sizes: Sequence[int] = (128, 128),
+        vf_clip_coef: float = 0.0,
     ):
         super().__init__(spec)
         self.learn_rate = learn_rate
@@ -164,6 +165,13 @@ class MLPBaseline(Baseline):
         self.batch_size = batch_size
         self.epochs = epochs
         self.hidden_sizes = tuple(hidden_sizes)
+        # Optional PPO-style value-loss clipping (default off = reference
+        # behavior): loss = max((v-y)^2, (v_clip-y)^2) with
+        # v_clip = v_old + clip(v - v_old, +-eps) and v_old the PRE-fit
+        # prediction. eps = vf_clip_coef * std(targets) so the knob is
+        # return-scale-free (the classic absolute eps is meaningless across
+        # envs whose returns differ by orders of magnitude).
+        self.vf_clip_coef = vf_clip_coef
         self.optimizer = optax.adam(learn_rate)
 
     def _num_features(self) -> int:
@@ -190,19 +198,27 @@ class MLPBaseline(Baseline):
         target = batch.returns.reshape(m)
         w = batch.valid.reshape(m).astype(target.dtype)
 
-        def loss_fn(params, f, y, ww):
+        pred0 = apply_mlp(state["mlp"], state["transforms"], feats, jnp.tanh)[..., 0]
+        err_before = _relative_error(pred0, target, w)
+        if self.vf_clip_coef > 0.0:
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            t_mu = jnp.sum(target * w) / n
+            t_std = jnp.sqrt(jnp.sum(jnp.square(target - t_mu) * w) / n + 1e-8)
+            vf_eps = self.vf_clip_coef * t_std
+        else:
+            vf_eps = 0.0
+
+        def loss_fn(params, f, y, ww, v_old):
             pred = apply_mlp(params, state["transforms"], f, jnp.tanh)[..., 0]
-            mse = jnp.sum(ww * jnp.square(pred - y)) / jnp.maximum(jnp.sum(ww), 1.0)
+            sq = jnp.square(pred - y)
+            if self.vf_clip_coef > 0.0:
+                v_clip = v_old + jnp.clip(pred - v_old, -vf_eps, vf_eps)
+                sq = jnp.maximum(sq, jnp.square(v_clip - y))
+            mse = jnp.sum(ww * sq) / jnp.maximum(jnp.sum(ww), 1.0)
             if self.reg_coef > 0.0:
                 l2 = sum(jnp.sum(jnp.square(p["w"])) for p in params)
                 mse = mse + self.reg_coef * l2
             return mse
-
-        err_before = _relative_error(
-            apply_mlp(state["mlp"], state["transforms"], feats, jnp.tanh)[..., 0],
-            target,
-            w,
-        )
 
         mb = min(self.batch_size, m)
         num_mb = max(m // mb, 1)
@@ -213,7 +229,9 @@ class MLPBaseline(Baseline):
 
             def mb_step(c, idx):
                 p, o = c
-                g = jax.grad(loss_fn)(p, feats[idx], target[idx], w[idx])
+                g = jax.grad(loss_fn)(
+                    p, feats[idx], target[idx], w[idx], pred0[idx]
+                )
                 updates, o = self.optimizer.update(g, o, p)
                 return (optax.apply_updates(p, updates), o), ()
 

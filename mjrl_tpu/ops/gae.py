@@ -49,13 +49,28 @@ def compute_returns(
     done: jax.Array,
     valid: jax.Array,
     gamma: float,
+    bootstrap_value: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Masked in-episode discounted returns over ``(N, T)`` batches.
 
     The reverse scan resets its carry at episode boundaries (``done``), so a
     row containing several auto-reset episodes yields per-episode returns.
+
+    ``bootstrap_value`` (shape ``(N,)``): value estimate seeding the scan
+    carry, used when a row's window cuts an episode mid-flight (auto-reset
+    sampling with ``num_steps < horizon``). The reference never faces this
+    case — its ``sample_data_batch`` collects whole episodes, so MC returns
+    always cover the full episode; fitting a baseline against window-truncated
+    returns would bias V(s) low everywhere. Mirrors the ``v_next`` tail
+    bootstrap in :func:`compute_gae`: rows whose final step has ``done=True``
+    are unaffected (the ``done`` select zeroes the carry), so episode-mode
+    semantics are untouched even when a value is passed.
     """
     rewards = rewards * valid.astype(rewards.dtype)
+    if bootstrap_value is None:
+        carry0 = jnp.zeros(rewards.shape[0], rewards.dtype)
+    else:
+        carry0 = bootstrap_value.astype(rewards.dtype)
 
     def step(carry, xs):
         r_t, done_t = xs
@@ -64,7 +79,7 @@ def compute_returns(
 
     _, rets = jax.lax.scan(
         step,
-        jnp.zeros(rewards.shape[0], rewards.dtype),
+        carry0,
         (rewards.T, done.T),
         reverse=True,
     )

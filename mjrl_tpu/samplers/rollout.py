@@ -135,7 +135,9 @@ def sample_autoreset(
     num_steps: int,
     episode_horizon: Optional[int] = None,
     eval_mode: bool = False,
-    carry: Optional[Tuple[Any, jax.Array, jax.Array]] = None,
+    carry: Optional[
+        Tuple[Any, jax.Array, jax.Array, jax.Array, jax.Array]
+    ] = None,
 ) -> Any:
     """Continuous rows with in-scan auto-reset — every transition is valid.
 

@@ -139,6 +139,11 @@ def train_agent(
             except jax.errors.JaxRuntimeError:
                 if attempt == max_retries:
                     raise
+                # The error surfaced at the device_get fence — by then the
+                # agent may already hold a poisoned sampler carry from the
+                # failed step's async outputs; drop it so the retry
+                # re-initializes instead of reusing poisoned arrays.
+                agent.reset_sampler_carry()
                 print(
                     f"transient device error at iter {i}; retry "
                     f"{attempt + 1}/{max_retries}"

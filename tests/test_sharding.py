@@ -118,7 +118,9 @@ def test_ppo_sharded_minibatching_has_no_batch_gather():
     batch = jax.jit(agent.process_batch)(state, batch)
 
     def update_only(state, batch, key):
-        return agent._minibatch_adam_sharded(state, batch, key)
+        return agent._minibatch_adam_sharded(
+            state, batch, key, jnp.asarray(agent.learn_rate)
+        )
 
     compiled = (
         jax.jit(update_only).lower(state, batch, jax.random.PRNGKey(2)).compile()
