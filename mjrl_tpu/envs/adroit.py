@@ -72,6 +72,7 @@ class AdroitEnv(Env):
         self,
         horizon: Optional[int] = None,
         reward_variant: Optional[str] = None,
+        constraint_solver: str = "penalty",
     ):
         from mjrl_tpu.physics.bridge import load_mj_model, model_from_mujoco
 
@@ -80,6 +81,12 @@ class AdroitEnv(Env):
         mj = load_mj_model(_adroit_asset(self.task))
         self._apply_gain_overrides(mj)
         self.model = model_from_mujoco(mj)
+        # 'newton' = MuJoCo-parity constraint solve for CONTACTS and joint
+        # limits (engine csolve path — adroit cannot ride SoA: tendons +
+        # box-box pairs). Tendon springs/limits remain penalty passive
+        # forces in either mode (MuJoCo treats spring tendons passively
+        # too; tendon-LIMIT rows are the approximation — documented).
+        self.model.constraint_solver = constraint_solver
         # penalty-model tuning for gram-scale fingers + hectogram objects:
         # k from "object weight compresses ~2mm", response freq ~sqrt(k/m_tip)
         # kept below the 2ms substep's stability bound; limits per-dof scaled

@@ -55,8 +55,16 @@ class LocomotionEnv(Env):
         horizon: int = 1000,
         asset_path: Optional[str] = None,
         constraint_solver: str = "penalty",
+        n_substeps: Optional[int] = None,
     ):
         self.model = load_mjcf(asset_path or _asset_path(self.asset))
+        # The class default n_substeps is tuned for PENALTY stability (the
+        # explicit spring-damper needs a finer dt than MuJoCo). The newton
+        # solve is impedance-implicit like MuJoCo's and is stable at the
+        # model dt — pass n_substeps=1 to match MuJoCo's discretization and
+        # save the substep multiplier.
+        if n_substeps is not None:
+            self.n_substeps = int(n_substeps)
         self.model.n_substeps = self.n_substeps
         # 'newton' = MuJoCo-parity soft-constraint contacts/limits
         # (physics/csolve.py, engine path); 'penalty' = the TPU fast path

@@ -210,3 +210,39 @@ def test_train_step_is_deterministic():
     f1, _ = ravel_pytree(s1.params)
     f2, _ = ravel_pytree(s2.params)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_ppo_modern_machinery_flags():
+    """lr_anneal_iters + norm_adv_per_minibatch + MLPBaseline vf clipping:
+    all three round-3 flags run together, alpha anneals linearly to 0, and
+    the agent still learns point_mass."""
+    from mjrl_tpu.models import MLPBaseline
+
+    env, pol, _ = _point_mass_setup()
+    bl = MLPBaseline(env.spec, epochs=2, batch_size=128, vf_clip_coef=0.2)
+    agent = PPO(
+        env,
+        pol,
+        bl,
+        epochs=5,
+        mb_size=128,
+        learn_rate=1e-3,
+        num_traj=32,
+        lr_anneal_iters=10,
+        norm_adv_per_minibatch=True,
+    )
+    state = agent.init(jax.random.PRNGKey(0))
+    step = agent.jitted_train_step
+    alphas, first = [], None
+    for i in range(10):
+        state, metrics = step(state, jax.random.PRNGKey(2000 + i))
+        alphas.append(float(metrics["alpha"]))
+        if i == 0:
+            first = float(metrics["stoc_pol_mean"])
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+    # linear anneal: alpha_i = lr * (1 - i/10)
+    np.testing.assert_allclose(
+        alphas, [1e-3 * (1 - i / 10) for i in range(10)], rtol=1e-5
+    )
+    assert float(metrics["running_score"]) > first

@@ -163,3 +163,27 @@ def test_gae_window_tail_bootstraps_with_last_value():
     exp1 = d[1] + gamma * lam * exp2
     exp0 = d[0] + gamma * lam * exp1
     np.testing.assert_allclose(adv, [exp0, exp1, exp2], rtol=1e-5)
+
+
+def test_returns_bootstrap_value_on_window_tail():
+    """``compute_returns(bootstrap_value=...)``: a row whose window truncates
+    an episode mid-flight seeds the reverse scan with V(s_last); a row that
+    ENDS with done is untouched (the done select zeroes the carry), so
+    episode-mode semantics are identical whether or not a value is passed."""
+    gamma = 0.9
+    rewards = jnp.asarray(np.array([[1.0, 1.0, 1.0], [1.0, 1.0, 1.0]], np.float32))
+    done = jnp.asarray(np.array([[False, False, False], [False, False, True]]))
+    valid = jnp.ones((2, 3), bool)
+    boot = jnp.asarray(np.array([10.0, 10.0], np.float32))
+
+    rets = np.asarray(compute_returns(rewards, done, valid, gamma, bootstrap_value=boot))
+    # row 0 (truncated): y2 = 1 + g*10, y1 = 1 + g*y2, y0 = 1 + g*y1
+    y2 = 1 + gamma * 10.0
+    y1 = 1 + gamma * y2
+    y0 = 1 + gamma * y1
+    np.testing.assert_allclose(rets[0], [y0, y1, y2], rtol=1e-6)
+    # row 1 (ends terminated): plain MC returns, bootstrap ignored
+    np.testing.assert_allclose(rets[1], [1 + gamma * (1 + gamma), 1 + gamma, 1.0], rtol=1e-6)
+    # and without a bootstrap the truncated row zero-pads (old behavior)
+    rets0 = np.asarray(compute_returns(rewards, done, valid, gamma))
+    np.testing.assert_allclose(rets0[0], [1 + gamma * (1 + gamma), 1 + gamma, 1.0], rtol=1e-6)

@@ -38,6 +38,12 @@ def main() -> None:
     p.add_argument("--num-processes", type=int, default=2)
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--local-devices", type=int, default=4)
+    p.add_argument(
+        "--light",
+        action="store_true",
+        help="tiny point_mass + quadratic baseline instead of the flagship "
+        "(ant + SoA physics + MLP baseline + CG) config",
+    )
     args = p.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -63,15 +69,43 @@ def main() -> None:
     n_global = args.num_processes * args.local_devices
     assert jax.device_count() == n_global, (jax.device_count(), n_global)
 
+    # persistent compile cache: the flagship ant program is XLA:CPU
+    # compile-heavy; cache entries are shared with the test suite's
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tests", ".jax_cache"),
+    )
+
     from mjrl_tpu import envs
     from mjrl_tpu.algos import NPG
-    from mjrl_tpu.models import GaussianMLP, QuadraticBaseline
+    from mjrl_tpu.models import (
+        GaussianMLP,
+        MLPBaseline,
+        QuadraticBaseline,
+    )
 
-    env = envs.make("point_mass", horizon=10)
-    pol = GaussianMLP(env.spec, hidden_sizes=(16, 16))
-    bl = QuadraticBaseline(env.spec)
     mesh = make_mesh(n_global)
-    agent = NPG(env, pol, bl, num_traj=16, horizon=10, mesh=mesh)
+    if args.light:
+        env = envs.make("point_mass", horizon=10)
+        pol = GaussianMLP(env.spec, hidden_sizes=(16, 16))
+        bl = QuadraticBaseline(env.spec)
+        agent = NPG(env, pol, bl, num_traj=16, horizon=10, mesh=mesh)
+    else:
+        # FLAGSHIP config — the same program __graft_entry__.dryrun_multichip
+        # certifies single-process: ant on SoA-supported physics, MLP
+        # value-function baseline (its minibatch-Adam fit scan), CG natural
+        # gradient — so the real process group exercises the MLP-fit and CG
+        # collective patterns, not just the toy quadratic solve.
+        from mjrl_tpu.physics import soa
+
+        env = envs.make("ant", horizon=4)
+        assert soa.soa_supported(env.model), "flagship must ride the SoA path"
+        pol = GaussianMLP(env.spec, hidden_sizes=(64, 64))
+        bl = MLPBaseline(env.spec, epochs=1, batch_size=8)
+        agent = NPG(
+            env, pol, bl, num_traj=2 * n_global, horizon=4, mesh=mesh
+        )
     # identical replicated inputs on every process (same seeds)
     state = agent.init(jax.random.PRNGKey(0))
     state, metrics = jax.block_until_ready(

@@ -57,6 +57,18 @@ def main() -> None:
             if line and not line.startswith("#"):
                 lines.append(line)
 
+    # Persistent compilation cache: multi-seed campaigns re-trace the SAME
+    # program per seed (fresh agent objects), so keying on HLO lets seeds
+    # 2..N skip the multi-minute TPU compile. Harmless if the backend
+    # doesn't support it.
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "runs", ".jax_cache"),
+    )
+
     from mjrl_tpu.train import load_config, run_job
 
     failures = 0
