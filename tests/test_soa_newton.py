@@ -76,6 +76,33 @@ def test_soa_newton_matches_engine_csolve(name):
     np.testing.assert_allclose(got_qd.T, ref.qd, rtol=2e-3, atol=2e-3)
 
 
+def test_soa_newton_matches_engine_golden_ant():
+    """Ant Newton parity against the PRECOMPUTED engine oracle.
+
+    The live engine-side reference (vmap of the per-env Newton solve) is a
+    ~1h XLA:CPU compile for ant, so the flagship env's parity case would
+    otherwise live behind the slow gate only. tools/gen_newton_golden.py
+    runs that engine side once (the TPU compiles it in under a minute) and
+    stores inputs + outputs; here only the cheap SoA side compiles.
+    Tolerances carry a cross-backend allowance (golden may come from TPU).
+    """
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "ant_newton_substep.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("golden table missing — run tools/gen_newton_golden.py ant")
+    g = np.load(path)
+    env = envs.make("ant", horizon=32, constraint_solver="newton")
+    model = env.model
+    assert soa.soa_supported(model)
+    model.solver_iters = int(g["solver_iters"])
+    got_q, got_qd = jax.jit(
+        lambda q, qd, c: soa.substep(model, q, qd, c, float(g["dt"]))
+    )(g["q"].T, g["qd"].T, g["ctrl"].T)
+    np.testing.assert_allclose(np.asarray(got_q).T, g["ref_q"], rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_qd).T, g["ref_qd"], rtol=3e-3, atol=3e-3)
+
+
 def test_newton_rows_only_activate_in_margin():
     """A hopper mid-air (no contact, inside limits) must reduce to the
     unconstrained solve: all D rows gate to zero."""
