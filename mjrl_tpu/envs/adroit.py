@@ -96,6 +96,11 @@ class AdroitEnv(Env):
         self.model.friction_vel = 0.01
         self.model.n_substeps = 1
         scale_limit_penalties(self.model, omega=60.0)
+        from mjrl_tpu.physics.dispatch import make_frame_stepper
+
+        self._frame_step = make_frame_stepper(
+            self.model, self.frame_skip, with_link_delta=True
+        )
         self._site = {n: i for i, n in enumerate(self.model.site_name)}
         self._link = {n: i for i, n in enumerate(self.model.link_name)}
         self._jnt_q = {
@@ -153,10 +158,11 @@ class AdroitEnv(Env):
         return site_positions(self.model, kin)
 
     def _physics(self, st: AdroitState, ctrl: jax.Array) -> PhysicsState:
-        ps = st.ps
-        for _ in range(self.frame_skip):
-            ps = physics_step(self.model, ps, ctrl, link_pos_delta=st.link_delta)
-        return ps
+        # routed through the SoA/Pallas dispatcher (physics/dispatch.py):
+        # under vmap the whole frame_skip window runs batch-last on TPU
+        # (the per-env engine path is this exact loop)
+        q, qd = self._frame_step(st.ps.q, st.ps.qd, ctrl, st.link_delta)
+        return PhysicsState(q=q, qd=qd)
 
     def _zero_state(self) -> Tuple[jax.Array, jax.Array]:
         q = jnp.asarray(self.model.default_qpos)

@@ -37,18 +37,31 @@ from mjrl_tpu.physics.model import Model
 _UNROLL_MAX = 8
 
 
+_num_candidates = soa.num_contact_candidates
+
+
 def make_frame_stepper(
     model: Model,
     frame_skip: int,
     subspaces=None,
     use_soa: Optional[bool] = None,
-) -> Callable[[jax.Array, jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
-    """Per-env ``(q, qd, ctrl) -> (q, qd)`` over ``frame_skip`` frames."""
+    with_link_delta: bool = False,
+):
+    """Per-env ``(q, qd, ctrl[, link_delta]) -> (q, qd)`` over
+    ``frame_skip`` frames.
 
-    def per_env(q, qd, ctrl):
+    ``with_link_delta=True`` adds a per-env ``(nlink, 3)`` parent-frame
+    body-position offset argument (randomized scenes — Adroit); the SoA
+    side receives it as an extra ``(3*nlink, B)`` lane-tiled input.
+    """
+
+    def per_env(q, qd, ctrl, *delta):
         ps = PhysicsState(q=q, qd=qd)
+        ld = delta[0] if delta else None
         for _ in range(frame_skip):
-            ps = engine_step(model, ps, ctrl, subspaces=subspaces)
+            ps = engine_step(
+                model, ps, ctrl, subspaces=subspaces, link_pos_delta=ld
+            )
         return ps.q, ps.qd
 
     if use_soa is None:
@@ -64,24 +77,40 @@ def make_frame_stepper(
         ensure_solver_params(model)
 
     total_substeps = frame_skip * model.n_substeps
+    nargs = 4 if with_link_delta else 3
 
     @jax.custom_batching.custom_vmap
-    def frame_step(q, qd, ctrl):
-        return per_env(q, qd, ctrl)
+    def frame_step(*args):
+        return per_env(*args)
 
     @frame_step.def_vmap
-    def _rule(axis_size, in_batched, q, qd, ctrl):
-        qb, qdb, cb = in_batched
-        if not qb:
-            q = jnp.broadcast_to(q, (axis_size,) + q.shape)
-        if not qdb:
-            qd = jnp.broadcast_to(qd, (axis_size,) + qd.shape)
-        if not cb:
-            ctrl = jnp.broadcast_to(ctrl, (axis_size,) + ctrl.shape)
+    def _rule(axis_size, in_batched, *args):
+        args = list(args)
+        for k in range(nargs):
+            if not in_batched[k]:
+                args[k] = jnp.broadcast_to(
+                    args[k], (axis_size,) + args[k].shape
+                )
+        q, qd, ctrl = args[:3]
+        if jax.default_backend() != "tpu" and (
+            model.tendon_Jq is not None or _num_candidates(model) > 64
+        ):
+            # Candidate-heavy models (Adroit) on CPU/GPU test backends:
+            # the big SoA trace is an XLA:CPU compile sink with no lane
+            # payoff there — keep the per-env engine under plain vmap.
+            q2, qd2 = jax.vmap(per_env)(*args)
+            return (q2, qd2), (True, True)
+        # batch-last link_delta: (B, nlink, 3) -> (3*nlink, B)
+        delta_bl = None
+        if with_link_delta:
+            d = args[3]
+            delta_bl = d.reshape(d.shape[0], -1).T
         if jax.default_backend() == "tpu":
             from mjrl_tpu.physics.pkernel import multistep_pallas
 
-            q2, qd2 = multistep_pallas(model, q.T, qd.T, ctrl.T, frame_skip)
+            q2, qd2 = multistep_pallas(
+                model, q.T, qd.T, ctrl.T, frame_skip, link_delta=delta_bl
+            )
         else:
             q2, qd2 = soa.multistep(
                 model,
@@ -89,7 +118,12 @@ def make_frame_stepper(
                 qd.T,
                 ctrl.T,
                 frame_skip,
-                unroll=total_substeps <= _UNROLL_MAX,
+                # candidate-heavy models (Adroit: ~680 contact points) trace
+                # a large substep body; loop instead of unrolling to keep
+                # trace/compile time bounded
+                unroll=total_substeps <= _UNROLL_MAX
+                and _num_candidates(model) <= 64,
+                link_delta=delta_bl,
             )
         return (q2.T, qd2.T), (True, True)
 

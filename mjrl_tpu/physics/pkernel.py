@@ -46,6 +46,36 @@ def _kernel_body(model, n_frames, unroll, q_ref, qd_ref, ctrl_ref, qo_ref, qdo_r
     qdo_ref[...] = qd2
 
 
+def _kernel_body_ext(
+    model, n_frames, unroll, has_tendon, has_delta, *refs
+):
+    """Kernel body with optional extra inputs.
+
+    Ref order: q, qd, ctrl, [Jq, Jv, tendon_params], [link_delta],
+    q_out, qd_out. Tendon matrices arrive as kernel INPUTS (replicated
+    across grid cells — pallas_call cannot capture array constvars);
+    link_delta is a lane-tiled per-env input like q/qd/ctrl.
+    """
+    refs = list(refs)
+    q_ref, qd_ref, ctrl_ref = refs[:3]
+    i = 3
+    tendon = None
+    if has_tendon:
+        tendon = (refs[i][...], refs[i + 1][...], refs[i + 2][...])
+        i += 3
+    delta = None
+    if has_delta:
+        delta = refs[i][...]
+        i += 1
+    qo_ref, qdo_ref = refs[i], refs[i + 1]
+    q2, qd2 = soa.multistep(
+        model, q_ref[...], qd_ref[...], ctrl_ref[...], n_frames,
+        unroll=unroll, tendon=tendon, link_delta=delta,
+    )
+    qo_ref[...] = q2
+    qdo_ref[...] = qd2
+
+
 def multistep_pallas(
     model: Model,
     q: jax.Array,
@@ -54,11 +84,19 @@ def multistep_pallas(
     n_frames: int = 1,
     blk: int = _BLK,
     interpret: bool = False,
+    link_delta: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Batch-last multi-frame step: q (nq, B), qd (nv, B), ctrl (nu, B)."""
+    """Batch-last multi-frame step: q (nq, B), qd (nv, B), ctrl (nu, B).
+
+    ``link_delta`` (``(3*nlink, B)``, optional): per-env scene offsets.
+    """
     nq, B = q.shape
     nv = qd.shape[0]
     nu = ctrl.shape[0]
+    if soa.num_contact_candidates(model) > 64:
+        # candidate-heavy bodies (Adroit: ~680 contact points) blow the
+        # 16M scoped-VMEM stack at 256 lanes; halve the block
+        blk = min(blk, 128)
     blk = min(blk, max(128, B))
     Bp = -(-B // blk) * blk
     if Bp != B:
@@ -68,23 +106,45 @@ def multistep_pallas(
         q = jnp.pad(q, pad, mode="edge")
         qd = jnp.pad(qd, pad, mode="edge")
         ctrl = jnp.pad(ctrl, pad, mode="edge")
+        if link_delta is not None:
+            link_delta = jnp.pad(link_delta, pad, mode="edge")
     total_substeps = n_frames * model.n_substeps
     unroll = total_substeps <= _UNROLL_MAX
-    body = functools.partial(_kernel_body, model, n_frames, unroll)
     spec = lambda rows: pl.BlockSpec(
         (rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM
     )
+    # whole-array (grid-replicated) spec for the small tendon constants
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    has_tendon = model.tendon_Jq is not None
+    has_delta = link_delta is not None
+    in_specs = [spec(nq), spec(nv), spec(nu)]
+    operands = [q, qd, ctrl]
+    if has_tendon:
+        jq, jv, tp = soa.tendon_params(model)
+        in_specs += [rep(jq.shape), rep(jv.shape), rep(tp.shape)]
+        operands += [jnp.asarray(jq), jnp.asarray(jv), jnp.asarray(tp)]
+    if has_delta:
+        in_specs.append(spec(link_delta.shape[0]))
+        operands.append(link_delta)
+    if has_tendon or has_delta:
+        body = functools.partial(
+            _kernel_body_ext, model, n_frames, unroll, has_tendon, has_delta
+        )
+    else:
+        body = functools.partial(_kernel_body, model, n_frames, unroll)
     q2, qd2 = pl.pallas_call(
         body,
         grid=(Bp // blk,),
-        in_specs=[spec(nq), spec(nv), spec(nu)],
+        in_specs=in_specs,
         out_specs=[spec(nq), spec(nv)],
         out_shape=[
             jax.ShapeDtypeStruct((nq, Bp), jnp.float32),
             jax.ShapeDtypeStruct((nv, Bp), jnp.float32),
         ],
         interpret=interpret,
-    )(q, qd, ctrl)
+    )(*operands)
     if Bp != B:
         q2, qd2 = q2[:, :B], qd2[:, :B]
     return q2, qd2

@@ -66,21 +66,35 @@ _SUPPORTED_KINDS = {
     "sphere_sphere",
     "sphere_capsule",
     "capsule_capsule",
+    "sphere_box",
+    "capsule_box",
+    "box_box",
 }
+
+
+def num_contact_candidates(model: Model) -> int:
+    """Static count of narrow-phase contact points for this model."""
+    pts = {"box_plane": 8, "capsule_plane": 2, "capsule_box": 3,
+           "box_box": 16}
+    n = 0
+    for kind, tab in _pair_groups(model).kinds:
+        n += len(tab["gi"]) * pts.get(kind, 1)
+    return n
 
 
 def soa_supported(model: Model) -> bool:
     """True if this model's features are covered by the SoA fast path.
 
-    Unsupported models (ball joints, tendons, box-box / sphere-box
-    contacts, link-mounted planes) fall back to the per-env engine under
-    vmap.
+    Unsupported models (ball joints, link-mounted planes) fall back to the
+    per-env engine under vmap. Fixed tendons and the box collider kinds are
+    supported since round 3 (they are what Adroit needs); tendon models take
+    the plain-XLA SoA path rather than the Pallas kernel (the tendon
+    coupling matrices are array constants, which ``pallas_call`` cannot
+    capture — see physics/dispatch.py).
     """
     for i in range(model.nlink):
         if model.link_jnt_type[i] not in (-1, FREE, HINGE, SLIDE):
             return False
-    if model.tendon_Jq is not None:
-        return False
     if model.constraint_solver not in ("penalty", "newton"):
         return False  # unknown solver: engine path decides
     for kind, tab in _pair_groups(model).kinds:
@@ -238,8 +252,13 @@ def _soa_tables(model: Model) -> _SoATables:
 # ---------------------------------------------------------------------------
 
 
-def _fk(model: Model, q: jax.Array):
-    """World link poses. Returns (pos list (3,B), quat list (4,B))."""
+def _fk(model: Model, q: jax.Array, link_delta=None):
+    """World link poses. Returns (pos list (3,B), quat list (4,B)).
+
+    ``link_delta`` (``(3*nlink, B)``): per-env PARENT-frame body-position
+    offsets (randomized scenes — Adroit's object/door/board placement),
+    the engine's ``link_pos_delta`` in batch-last rows.
+    """
     nlink = model.nlink
     pos: List[jax.Array] = [None] * nlink
     quat: List[jax.Array] = [None] * nlink
@@ -247,6 +266,8 @@ def _fk(model: Model, q: jax.Array):
         t = model.link_jnt_type[i]
         adr = model.link_qadr[i]
         lp, lq = _c(model.link_pos[i]), _c(model.link_quat[i])
+        if link_delta is not None:
+            lp = lp + link_delta[3 * i : 3 * i + 3]
         jp = jq = None
         if t == HINGE:
             ax = _c(model.jnt_axis[i])
@@ -544,6 +565,59 @@ def _contact_candidates(model: Model, pos, quat) -> List[_Cand]:
         pt = c2 + n * (np.float32(r2) - 0.5 * jnp.maximum(depth, 0.0))
         return depth, n, pt
 
+    def min_axis_onehot(gap):
+        # one-hot of the per-column min over the 3 axis rows; first-axis
+        # tie-break matches the engine's argmin. Float arithmetic instead
+        # of bool algebra: Mosaic rejects vector-i1 bitcasts (&, ~, astype
+        # on vector bools), while compare-feeding-where lowers fine.
+        g0, g1, g2 = gap[0:1], gap[1:2], gap[2:3]
+        w = lambda c: jnp.where(c, np.float32(1.0), np.float32(0.0))
+        o0 = w(g0 <= g1) * w(g0 <= g2)
+        o1 = (np.float32(1.0) - o0) * w(g1 <= g2)
+        o2 = np.float32(1.0) - o0 - o1
+        return jnp.concatenate([o0, o1, o2], axis=0)
+
+    def sphere_box(c, r, pb, qb, sb):
+        """Sphere center rows ``c (3,B)`` radius ``r`` vs a box at
+        ``pb/qb`` with half-sizes ``sb`` (static). Row twin of the
+        engine's _sphere_box (contact.py): returns (depth (1,B),
+        normal j->i world (3,B), world point (3,B))."""
+        sbc = _c(sb)
+        p = _qrot_inv(qb, c - pb)  # center in box frame
+        clamped = jnp.clip(p, -sbc, sbc)
+        delta = p - clamped
+        d_out = jnp.sqrt(_dot(delta, delta))
+        inside = d_out < 1e-9
+        n_out = delta / (d_out + 1e-12)
+        gap = sbc - jnp.abs(p)
+        onehot = min_axis_onehot(gap)
+        gmin = jnp.min(gap, axis=0, keepdims=True)
+        sgn = jnp.where(p >= 0, 1.0, -1.0)
+        n_in = onehot * sgn
+        depth = jnp.where(inside, np.float32(r) + gmin, np.float32(r) - d_out)
+        nrm_b = jnp.where(inside, n_in, n_out)
+        nrm_w = _qrot(qb, nrm_b)
+        pt_w = pb + _qrot(qb, clamped)
+        return depth, nrm_w, pt_w
+
+    def box_corners_in_box(pa, qa, sa, pb, qb, sb):
+        """Corners of box a vs box b (engine's _box_corners_in_box twin):
+        yields 8 per-corner (depth, normal b->a world, world point)."""
+        sbc = _c(sb)
+        for sx in (-1.0, 1.0):
+            for sy in (-1.0, 1.0):
+                for sz in (-1.0, 1.0):
+                    corner_w = pa + _qrot(
+                        qa, _c([sx * sa[0], sy * sa[1], sz * sa[2]])
+                    )
+                    p = _qrot_inv(qb, corner_w - pb)
+                    gap = sbc - jnp.abs(p)
+                    depth = jnp.min(gap, axis=0, keepdims=True)
+                    onehot = min_axis_onehot(gap)
+                    sgn = jnp.where(p >= 0, 1.0, -1.0)
+                    n_w = _qrot(qb, onehot * sgn)
+                    yield depth, n_w, corner_w
+
     Z = _c([0.0, 0.0, 1.0])
     for kind, tab in groups.kinds:
         P = len(tab["gi"])
@@ -601,6 +675,29 @@ def _contact_candidates(model: Model, pos, quat) -> List[_Cand]:
                 )
                 dep, n, pt = sphere_sphere(pi_, si[0], a + t * d, sj[0])
                 out.append(_Cand(gi, gj, li, lj, mu, dep, n, pt))
+            elif kind == "sphere_box":
+                pi_, _ = geom_pose(gi)
+                pj_, qj_ = geom_pose(gj)
+                d, n, pt = sphere_box(pi_, si[0], pj_, qj_, sj)
+                out.append(_Cand(gi, gj, li, lj, mu, d, n, pt))
+            elif kind == "capsule_box":
+                # K=3 segment samples, each a sphere-vs-box test (engine
+                # twin: contact.py capsule_box)
+                pi_, qi_ = geom_pose(gi)
+                pj_, qj_ = geom_pose(gj)
+                axis = _qrot(qi_, Z)
+                for t in (-1.0, 0.0, 1.0):
+                    center = pi_ + np.float32(t * si[1]) * axis
+                    d, n, pt = sphere_box(center, si[0], pj_, qj_, sj)
+                    out.append(_Cand(gi, gj, li, lj, mu, d, n, pt))
+            elif kind == "box_box":
+                # corner-vs-box both ways (16 candidates; engine twin)
+                pi_, qi_ = geom_pose(gi)
+                pj_, qj_ = geom_pose(gj)
+                for d, n, pt in box_corners_in_box(pi_, qi_, si, pj_, qj_, sj):
+                    out.append(_Cand(gi, gj, li, lj, mu, d, n, pt))
+                for d, n, pt in box_corners_in_box(pj_, qj_, sj, pi_, qi_, si):
+                    out.append(_Cand(gi, gj, li, lj, mu, d, -n, pt))
             elif kind == "capsule_capsule":
                 pi_, qi_ = geom_pose(gi)
                 pj_, qj_ = geom_pose(gj)
@@ -789,6 +886,66 @@ def _applied_forces(model: Model, tab: _SoATables, q, qd, ctrl,
     )
 
 
+def tendon_params(model: Model):
+    """The tendon constants as ARRAYS ``(Jq (nt,nq), Jv (nt,nv), P (8,nt))``.
+
+    Packed so the Pallas kernel can take them as ordinary inputs
+    (``pallas_call`` cannot capture array constvars). ``P`` rows:
+    stiffness, springlength, damping, range_lo, range_hi,
+    limit_stiffness, limit_damping, limited.
+    """
+    nt = np.asarray(model.tendon_Jq).shape[0]
+    if model.tendon_limit_stiffness is not None:
+        k = np.asarray(model.tendon_limit_stiffness, np.float32)
+        c = np.asarray(model.tendon_limit_damping, np.float32)
+    else:
+        k = np.full(nt, model.limit_stiffness, np.float32)
+        c = np.full(nt, model.limit_damping, np.float32)
+    P = np.stack(
+        [
+            np.asarray(model.tendon_stiffness, np.float32),
+            np.asarray(model.tendon_springlength, np.float32),
+            np.asarray(model.tendon_damping, np.float32),
+            np.asarray(model.tendon_range[:, 0], np.float32),
+            np.asarray(model.tendon_range[:, 1], np.float32),
+            k,
+            c,
+            np.asarray(model.tendon_limited, np.float32),
+        ]
+    )
+    return (
+        np.asarray(model.tendon_Jq, np.float32),
+        np.asarray(model.tendon_Jv, np.float32),
+        P,
+    )
+
+
+def _tendon_forces(model: Model, q, qd, tendon=None):
+    """Fixed-tendon passive forces, batch-last: ``(nv, B)``.
+
+    Twin of engine.tendon_forces (engine.py:588): tendon length ``l = Jq q``
+    is LINEAR in the joint coordinates for fixed tendons, so the whole thing
+    is two small dense matmuls either side of elementwise spring/damper +
+    limit-penalty math — MXU-friendly at any lane width. ``tendon`` is the
+    :func:`tendon_params` triple; inside the Pallas kernel it arrives as
+    kernel inputs (array constvars are not capturable there), outside it
+    defaults to trace-time constants.
+    """
+    if tendon is None:
+        tendon = tendon_params(model)
+    Jq, Jv, P = (jnp.asarray(t) for t in tendon)
+    length = Jq @ q  # (nt, B)
+    vel = Jv @ qd
+    col = lambda i: P[i][:, None]
+    f = -col(0) * (length - col(1)) - col(2) * vel
+    viol = jnp.minimum(length - col(3), 0.0) + jnp.maximum(
+        length - col(4), 0.0
+    )
+    f_lim = -col(5) * viol - jnp.where(jnp.abs(viol) > 0, col(6) * vel, 0.0)
+    f = f + col(7) * f_lim
+    return Jv.T @ f  # (nv, B)
+
+
 def _limit_damping_rows(model: Model, q, dt: float):
     """Per-dof dt*c_limit*active (1, B) rows (or None) — the implicit-
     diagonal half of the limit damper (engine.limit_damping_diag twin)."""
@@ -853,7 +1010,8 @@ def _integrate(model: Model, q, qd, qdd, dt: float):
 # ---------------------------------------------------------------------------
 
 
-def substep(model: Model, q: jax.Array, qd: jax.Array, ctrl: jax.Array, dt: float):
+def substep(model: Model, q: jax.Array, qd: jax.Array, ctrl: jax.Array, dt: float,
+            tendon=None, link_delta=None):
     """One physics substep, batch-last: q (nq, B), qd (nv, B), ctrl (nu, B).
 
     Same pipeline as engine.step's inner substep (kinematics -> contacts ->
@@ -865,7 +1023,7 @@ def substep(model: Model, q: jax.Array, qd: jax.Array, ctrl: jax.Array, dt: floa
     newton = model.constraint_solver == "newton"
     try:
         tab = _soa_tables(model)
-        pos, quat = _fk(model, q)
+        pos, quat = _fk(model, q, link_delta)
         origin = pos[0]
         cdof = _cdofs(model, pos, quat, origin)
         cvel = _cvels(model, cdof, qd)
@@ -888,6 +1046,11 @@ def substep(model: Model, q: jax.Array, qd: jax.Array, ctrl: jax.Array, dt: floa
         tau = _applied_forces(
             model, tab, q, qd, ctrl, include_limits=not newton
         )
+        if model.tendon_Jq is not None:
+            # always the FULL tendon force (incl. the limit penalty), both
+            # modes — the engine adds tendon_forces unconditionally
+            # (engine.py:740) and csolve keeps tendon limits as penalties
+            tau = tau + _tendon_forces(model, q, qd, tendon)
         damping = _c(model.dof_damping)
         rhs = tau - C - damping * qd
         if newton:
@@ -914,21 +1077,26 @@ def multistep(
     ctrl: jax.Array,
     n_frames: int = 1,
     unroll: bool = True,
+    tendon=None,
+    link_delta=None,
 ):
     """``n_frames`` control frames = n_frames * model.n_substeps substeps.
 
     ``unroll=False`` wraps the substep in ``lax.fori_loop`` (used inside the
-    Pallas kernel to bound instruction count / compile time).
+    Pallas kernel to bound instruction count / compile time). ``tendon``
+    (see :func:`tendon_params`) forwards kernel-input tendon constants;
+    ``link_delta`` is the per-env scene-randomization offset (see
+    :func:`_fk`).
     """
     dt = model.dt / model.n_substeps
     n_total = n_frames * model.n_substeps
     if unroll:
         for _ in range(n_total):
-            q, qd = substep(model, q, qd, ctrl, dt)
+            q, qd = substep(model, q, qd, ctrl, dt, tendon, link_delta)
         return q, qd
 
     def body(_, carry):
         q, qd = carry
-        return substep(model, q, qd, ctrl, dt)
+        return substep(model, q, qd, ctrl, dt, tendon, link_delta)
 
     return jax.lax.fori_loop(0, n_total, body, (q, qd))
