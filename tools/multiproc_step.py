@@ -86,6 +86,22 @@ def main() -> None:
     )
 
     mesh = make_mesh(n_global)
+
+    # Establish the cross-process Gloo context NOW, while both processes are
+    # in lockstep: context initialization has a ~30s deadline, and the
+    # flagship program's multi-minute cold compile can skew the processes'
+    # arrival at their first collective far past it (observed on a 2-core
+    # host with a cold compile cache). A trivial sharded reduction compiles
+    # in seconds and performs the rendezvous.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    ones = jax.device_put(
+        jnp.ones(n_global),
+        NamedSharding(mesh, PartitionSpec(mesh.axis_names[0])),
+    )
+    assert float(jax.jit(lambda x: x.sum())(ones)) == float(n_global)
+
     if args.light:
         env = envs.make("point_mass", horizon=10)
         pol = GaussianMLP(env.spec, hidden_sizes=(16, 16))
