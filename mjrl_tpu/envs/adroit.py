@@ -259,9 +259,28 @@ class AdroitRelocateEnv(AdroitEnv):
 
 
 class AdroitHammerEnv(AdroitEnv):
-    """Drive the nail into the board with the hammer (mj_envs hammer-v0)."""
+    """Drive the nail into the board with the hammer (mj_envs hammer-v0).
+
+    ``nail_init_max`` (default 0.0 = reference behavior) enables a
+    reverse-curriculum reset: each episode initializes the nail already
+    driven in by ``U(0, nail_init_max) * 0.081`` m of its 0.081 m
+    success travel. Rationale: the paper-budget scratch campaign
+    (runs/adroit_hammer_npg3, 2.05e8 samples) showed the strike event is
+    NEVER sampled once by Gaussian exploration from the hold-aloft
+    optimum — a pure exploration failure, not a sample-budget one.
+    Episodes that start one tap from success make the +25/+75 drive-in
+    bonuses reachable, and value bootstrapping propagates the strike
+    backward to harder inits; annealing ``nail_init_max`` to 0 across
+    resume stages restores the true task metric. Curriculum levels are
+    per-episode data (a q init), so all levels batch under vmap."""
 
     task = "hammer"
+    # success travel of the nail_dir slide joint: goal_dist 0.091 -> <0.01
+    _NAIL_TRAVEL = 0.081
+
+    def __init__(self, *args, nail_init_max: float = 0.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.nail_init_max = float(nail_init_max)
 
     @property
     def obs_dim(self) -> int:
@@ -308,6 +327,14 @@ class AdroitHammerEnv(AdroitEnv):
         bz = jax.random.uniform(key, (), minval=0.1, maxval=0.25)
         base = jnp.asarray(self.model.link_pos[board_root])
         delta = delta.at[board_root, 2].set(bz - base[2])
+        if self.nail_init_max > 0.0:
+            # fold_in (not split) keeps the board-height stream bit-exact
+            # with the nail_init_max=0 reference behavior
+            kn = jax.random.fold_in(key, 1)
+            depth = jax.random.uniform(
+                kn, (), maxval=self.nail_init_max * self._NAIL_TRAVEL
+            )
+            q = q.at[self._jnt_q["nail_dir"]].set(depth)
         st = AdroitState(
             PhysicsState(q=q, qd=qd), delta, jnp.zeros(3)
         )

@@ -11,7 +11,13 @@ import argparse
 import json
 import os
 
-from mjrl_tpu.utils.configs import RunConfig, build, obs_norm_init, warm_start
+from mjrl_tpu.utils.configs import (
+    RunConfig,
+    build,
+    obs_norm_init,
+    policy_warm_start,
+    warm_start,
+)
 from mjrl_tpu.utils.train_agent import train_agent
 
 
@@ -22,6 +28,8 @@ def run_job(cfg: RunConfig, output: str) -> None:
     cfg.to_json(os.path.join(output, "config.json"))
     _, policy, _, agent = build(cfg)
     init_state = None
+    if cfg.init_policy_from:
+        init_state = policy_warm_start(cfg, agent, seed=cfg.seed)
     if cfg.bc_init:
         init_state = warm_start(cfg, agent, policy, seed=cfg.seed)
     if cfg.obs_norm:

@@ -74,6 +74,13 @@ class RunConfig:
     demo_file: Optional[str] = None
     bc_init: bool = False
     bc_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # warm start from another run's latest checkpoint: carries policy
+    # params/old_params/transforms + baseline_state into a FRESH train state
+    # (optimizer/iteration/running_score reset). The cross-run analogue of
+    # the reference's pickle-a-policy-and-hand-it-to-the-next-job-script
+    # pattern (hand_dapg: expert pickle -> demo/eval scripts); here it also
+    # powers staged curricula (e.g. hammer nail-depth anneal stages).
+    init_policy_from: Optional[str] = None
     # observation normalization: install in_shift/in_scale transforms from a
     # random-policy rollout at init (the same transform machinery BC uses;
     # needed for wide-magnitude observation stacks like humanoid's 376-dim
@@ -149,6 +156,34 @@ def build(cfg: RunConfig):
         **agent_kwargs,
     )
     return env, policy, baseline, agent
+
+
+def policy_warm_start(cfg: RunConfig, agent, seed: int = 0):
+    """Seed a fresh train state with another run's latest-checkpoint policy
+    (+ transforms + baseline). Architectures must match; optimizer state,
+    iteration, and running_score start fresh so the new run's metrics are
+    its own."""
+    import jax
+
+    from mjrl_tpu.utils.checkpoint import CheckpointManager
+
+    state = agent.init(jax.random.PRNGKey(seed))
+    src = CheckpointManager(cfg.init_policy_from)
+    restored = src.restore_latest(jax.device_get(state))
+    if restored is None:
+        raise FileNotFoundError(
+            f"init_policy_from: no checkpoint under {cfg.init_policy_from}"
+        )
+    print(
+        f"Policy warm start from {cfg.init_policy_from} "
+        f"iteration {int(restored.iteration)}"
+    )
+    return state.replace(
+        params=restored.params,
+        old_params=jax.tree.map(jax.numpy.copy, restored.params),
+        transforms=restored.transforms,
+        baseline_state=restored.baseline_state,
+    )
 
 
 def obs_norm_init(agent, state, key, scale_min: float = 1e-2):

@@ -206,3 +206,29 @@ def test_other_adroit_envs_build(name, obs_dim, act_dim):
     st, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
     assert obs.shape == (obs_dim,)
     assert bool(jnp.all(jnp.isfinite(obs)))
+
+
+def test_hammer_nail_curriculum_reset():
+    """nail_init_max=0 is bit-exact reference behavior; >0 initializes the
+    nail_dir slide joint inside (0, max*0.081] per episode (reverse
+    curriculum for the strike-discovery exploration failure — see
+    AdroitHammerEnv docstring)."""
+    from mjrl_tpu import envs
+
+    ref = envs.make("adroit_hammer")
+    cur = envs.make("adroit_hammer", nail_init_max=0.9)
+    jq = ref._jnt_q["nail_dir"]
+    keys = jax.random.split(jax.random.PRNGKey(3), 16)
+    st_ref, _ = jax.jit(jax.vmap(ref.reset))(keys)
+    st_cur, _ = jax.jit(jax.vmap(cur.reset))(keys)
+    assert bool(jnp.all(st_ref.ps.q[:, jq] == 0.0))
+    depths = st_cur.ps.q[:, jq]
+    assert bool(jnp.all(depths >= 0.0)) and bool(
+        jnp.all(depths <= 0.9 * 0.081 + 1e-7)
+    )
+    assert float(depths.std()) > 1e-3  # actually randomized per episode
+    # board-height randomization stream unchanged by the curriculum draw
+    board = ref._body_root_link("nail_board")
+    assert bool(
+        jnp.all(st_ref.link_delta[:, board, 2] == st_cur.link_delta[:, board, 2])
+    )

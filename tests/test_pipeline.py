@@ -103,3 +103,64 @@ def test_resume_preserves_log_history(tmp_path):
     assert len(rows) == 6, f"expected 6 rows (4 + 2 resumed), got {len(rows)}"
     iters = [int(float(r["iteration"])) for r in rows]
     assert iters == list(range(6))
+
+
+def test_init_policy_from_cross_run(tmp_path):
+    """init_policy_from seeds a fresh run with another run's latest-
+    checkpoint policy/baseline (cross-run warm start: the reference's
+    pickle-a-policy-then-hand-it-to-the-next-job pattern; here it also
+    drives staged curricula)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mjrl_tpu.train import load_config, run_job
+    from mjrl_tpu.utils.checkpoint import CheckpointManager
+    from mjrl_tpu.utils.configs import build
+
+    src = str(tmp_path / "src")
+    run_job(
+        load_config(
+            None,
+            [
+                "env_name=point_mass",
+                "algorithm=npg",
+                'hidden_sizes=[8]',
+                "num_traj=8",
+                "niter=3",
+                "save_freq=1",
+                "seed=3",
+            ],
+        ),
+        src,
+    )
+    dst = str(tmp_path / "dst")
+    cfg = load_config(
+        None,
+        [
+            "env_name=point_mass",
+            "algorithm=npg",
+            'hidden_sizes=[8]',
+            "num_traj=8",
+            "niter=1",
+            "save_freq=1",
+            "seed=4",
+            f"init_policy_from={src}",
+        ],
+    )
+    run_job(cfg, dst)
+    # the dst run's FIRST checkpoint continues from src's trained params,
+    # not a fresh init: compare its restored params against a fresh init
+    _, _, _, agent = build(cfg)
+    fresh = jax.device_get(agent.init(jax.random.PRNGKey(4)))
+    src_state = CheckpointManager(src).restore_latest(fresh)
+    dst_state = CheckpointManager(dst).restore_latest(fresh)
+    fresh_leaves = jax.tree.leaves(fresh.params)
+    src_leaves = jax.tree.leaves(src_state.params)
+    dst_leaves = jax.tree.leaves(dst_state.params)
+    # dst trained 1 more iter, so not equal to src — but it must be far
+    # closer to src's params than to a fresh seed-4 init
+    d_src = sum(float(jnp.abs(a - b).sum()) for a, b in zip(dst_leaves, src_leaves))
+    d_fresh = sum(
+        float(jnp.abs(a - b).sum()) for a, b in zip(dst_leaves, fresh_leaves)
+    )
+    assert d_src < 0.5 * d_fresh, (d_src, d_fresh)
