@@ -136,3 +136,37 @@ def test_newton_rows_only_activate_in_margin():
     )(qT, st.qd.T, ctrl)
     np.testing.assert_allclose(got_q, ref_q, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(got_qd, ref_qd, rtol=1e-4, atol=1e-5)
+
+
+@_slow
+def test_soa_newton_matches_engine_golden_adroit_hammer():
+    """Adroit-on-newton SoA-row parity against the precomputed engine
+    oracle (closes PARITY known-gap #2's "untested" caveat: ~680 contact
+    candidates + fixed tendons + per-env scene offsets through the Newton
+    row assembly). Engine side generated once on TPU by
+    tools/gen_newton_golden.py adroit_hammer; only the SoA side compiles
+    here — still minutes on XLA:CPU, hence the slow gate."""
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "adroit_hammer_newton_substep.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip(
+            "golden table missing — run tools/gen_newton_golden.py adroit_hammer"
+        )
+    g = np.load(path)
+    env = envs.make("adroit_hammer", constraint_solver="newton")
+    model = env.model
+    assert soa.soa_supported(model)
+    model.solver_iters = int(g["solver_iters"])
+    delta_bl = g["link_delta"].reshape(g["link_delta"].shape[0], -1).T
+    got_q, got_qd = jax.jit(
+        lambda q, qd, c, ld: soa.substep(
+            model, q, qd, c, float(g["dt"]), None, ld
+        )
+    )(g["q"].T, g["qd"].T, g["ctrl"].T, delta_bl)
+    np.testing.assert_allclose(
+        np.asarray(got_q).T, g["ref_q"], rtol=3e-4, atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_qd).T, g["ref_qd"], rtol=3e-3, atol=3e-3
+    )
