@@ -83,6 +83,35 @@ def main() -> None:
                 print(f"[queue] shell step rc={rc}; aborting queue", flush=True)
                 sys.exit(1)
             continue
+        if line.startswith("%"):
+            # In-process python step: `%<script.py> [argv...]` runs inside
+            # THIS process, sharing its chip claim — the only way a queue
+            # can interleave device-touching tools (probes, golden-table
+            # generation) between training jobs on the single-claim
+            # tunneled backend (a subprocess would deadlock on the claim).
+            # Failures are logged but NON-fatal: probes must not cancel the
+            # training tail behind them.
+            import runpy
+
+            argv = line[1:].strip().split()
+            print(f"[queue] py: {' '.join(argv)}", flush=True)
+            saved = sys.argv
+            try:
+                sys.argv = argv
+                runpy.run_path(argv[0], run_name="__main__")
+                print(f"[queue] py done {argv[0]}", flush=True)
+            except SystemExit as e:
+                code = e.code if isinstance(e.code, int) else 0
+                print(f"[queue] py {argv[0]} exit={code}", flush=True)
+            except Exception:
+                print(
+                    f"[queue] py FAILED {argv[0]} (non-fatal):\n"
+                    f"{traceback.format_exc()}",
+                    flush=True,
+                )
+            finally:
+                sys.argv = saved
+            continue
         parts = line.split()
         cfg_path, output, overrides = parts[0], parts[1], parts[2:]
         if job_complete(output, overrides):
