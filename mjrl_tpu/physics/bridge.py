@@ -111,6 +111,7 @@ def model_from_mujoco(m) -> Model:
                     limited=bool(m.jnt_limited[j]),
                     damping=float(m.dof_damping[dadr]),
                     armature=float(m.dof_armature[dadr]),
+                    frictionloss=float(m.dof_frictionloss[dadr]),
                     stiffness=float(m.jnt_stiffness[j]),
                     springref=float(m.qpos_spring[qadr]) if t in (HINGE, SLIDE) else 0.0,
                     ref=float(m.qpos0[qadr]) if t in (HINGE, SLIDE) else 0.0,
@@ -186,7 +187,13 @@ def model_from_mujoco(m) -> Model:
             if bi == bj:
                 continue
             wi, wj = int(m.body_weldid[bi]), int(m.body_weldid[bj])
-            if wi == wj or (wi, wj) in excl:
+            # <exclude> signatures name RAW body ids (mj_collision checks
+            # them pre-weld); comparing weld ids silently missed e.g. the
+            # hammer model's nail_board/nail exclude (nail_board welds to
+            # the world, so its weld id is 0, never matching the signature)
+            # — which left a spurious nail-vs-board contact that capped the
+            # nail 3.4 cm short of its goal and made the task unwinnable.
+            if wi == wj or (bi, bj) in excl or (wi, wj) in excl:
                 continue
             # parent filter — MuJoCo exempts the world body: a geom welded
             # to the world must still collide with free-standing children

@@ -446,11 +446,17 @@ def forward_qacc(
     ensure_solver_params(model)
     kin = kin or compute_kinematics(model, state)
     damping = jnp.asarray(model.dof_damping)
-    M = crba(model, kin) + jnp.diag(
-        jnp.asarray(model.dof_armature) + dt * damping
-    )
+    from mjrl_tpu.physics.engine import friction_terms, passive_forces_smooth
+
+    f_fric, d_fric = friction_terms(model, state.qd)
+    diag = jnp.asarray(model.dof_armature) + dt * damping
+    if f_fric is not None:
+        # same regularized-passive treatment as the penalty path (MuJoCo
+        # uses frictionloss constraint rows; divergence documented at
+        # Model.dof_frictionloss) — keeps engine/SoA newton parity exact
+        diag = diag + dt * d_fric
+    M = crba(model, kin) + jnp.diag(diag)
     C = rnea_bias(model, kin, f_ext_world=f_ext_world)
-    from mjrl_tpu.physics.engine import passive_forces_smooth
 
     tau = actuation(model, ctrl, state) + passive_forces_smooth(model, state)
     if model.tendon_Jq is not None:
@@ -458,6 +464,8 @@ def forward_qacc(
 
         tau = tau + tendon_forces(model, state)
     rhs = tau - C - damping * state.qd
+    if f_fric is not None:
+        rhs = rhs + f_fric
     qdd0 = chol_solve_small(M, rhs)
     rows = build_rows(model, kin, state)
     if rows is None:

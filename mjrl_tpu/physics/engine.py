@@ -722,6 +722,29 @@ def integrate(
     return PhysicsState(q=q, qd=qd)
 
 
+def friction_terms(model: Model, qd: jax.Array):
+    """Regularized per-dof dry friction (MuJoCo ``dof_frictionloss``).
+
+    Returns ``(force, implicit_diag)`` with force ``-fl*tanh(qd/v_eps)``
+    and its velocity Jacobian ``fl/v_eps*sech^2`` (to be scaled by dt on
+    the mass-matrix diagonal, like the joint dampers), or ``(None, None)``
+    for models with no frictionloss so their compiled programs are
+    unchanged. Elementwise, so the same helper serves the per-env (nv,)
+    engine path and the batch-last (nv, B) SoA rows (constants broadcast).
+    MuJoCo solves frictionloss as constraint rows (exact stiction); the
+    tanh regularization creeps under sub-threshold load — divergence
+    documented at Model.dof_frictionloss."""
+    fl = getattr(model, "dof_frictionloss", None)
+    if fl is None or not np.any(np.asarray(fl)):
+        return None, None
+    fl = np.asarray(fl, np.float32)
+    if qd.ndim == 2:  # batch-last SoA rows: constants as (nv, 1)
+        fl = fl[:, None]
+    v_eps = np.float32(model.dof_friction_vel)
+    t = jnp.tanh(qd / v_eps)
+    return -fl * t, (fl / v_eps) * (1.0 - t * t)
+
+
 def forward_dynamics(
     model: Model,
     state: PhysicsState,
@@ -741,11 +764,14 @@ def forward_dynamics(
     damping = jnp.asarray(model.dof_damping)
     armature = jnp.asarray(model.dof_armature)
     rhs = tau - C - damping * state.qd
+    diag = armature + dt * (damping + limit_damping_diag(model, state.q))
+    f_fric, d_fric = friction_terms(model, state.qd)
+    if f_fric is not None:
+        rhs = rhs + f_fric
+        diag = diag + dt * d_fric
     # dt*damping and dt*limit_damping on the diagonal make the joint and
     # limit dampers semi-implicit (their explicit -c*qd_t parts are in rhs)
-    A = M + jnp.diag(
-        armature + dt * (damping + limit_damping_diag(model, state.q))
-    )
+    A = M + jnp.diag(diag)
     from mjrl_tpu.ops.smallchol import chol_solve_small
 
     return chol_solve_small(A, rhs)

@@ -376,6 +376,7 @@ def load_mjcf(source: str) -> Model:
                     range=rng,
                     limited=limited,
                     damping=float(jattrs.get("damping", "0")),
+                    frictionloss=float(jattrs.get("frictionloss", "0")),
                     armature=float(jattrs.get("armature", "0")),
                     stiffness=float(jattrs.get("stiffness", "0")),
                     springref=float(jattrs.get("springref", "0")),

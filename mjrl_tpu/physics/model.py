@@ -183,6 +183,18 @@ class Model:
     # penalty-model analogue. <= 0 disables.
     contact_force_cap_ratio: float = 4.0
     friction_vel: float = 0.1
+    # Per-dof dry friction (MuJoCo dof_frictionloss — what holds e.g. the
+    # hammer task's nail in its board: frictionloss=2.5 N, reference
+    # adroit_hammer.xml). MuJoCo implements it as constraint-solver rows;
+    # here it is a regularized passive force f = -fl*tanh(qd/v_eps) whose
+    # Jacobian fl/v_eps*sech^2 is folded into the semi-implicit diagonal
+    # (same treatment both engine and SoA paths, so parity holds; the
+    # tanh regularization means slow creep under sub-threshold load is the
+    # documented divergence from MuJoCo's exact stiction). None = zeros,
+    # and every apply site skips the term entirely (HLO unchanged for
+    # frictionless models — locomotion programs stay cache-identical).
+    dof_frictionloss: Optional[np.ndarray] = None  # (nv,)
+    dof_friction_vel: float = 0.01
     limit_stiffness: float = 500.0
     limit_damping: float = 10.0
     # name maps for introspection / env reward code
@@ -249,6 +261,7 @@ class ModelBuilder:
                 jnt_range=np.asarray(j.get("range", (0, 0)), np.float32),
                 jnt_limited=float(j.get("limited", False)),
                 damping=float(j.get("damping", 0.0)),
+                frictionloss=float(j.get("frictionloss", 0.0)),
                 armature=float(j.get("armature", 0.0)),
                 stiffness=float(j.get("stiffness", 0.0)),
                 springref=float(j.get("springref", 0.0)),
@@ -341,6 +354,7 @@ class ModelBuilder:
 
         dof_damping = np.zeros(nv, np.float32)
         dof_armature = np.zeros(nv, np.float32)
+        dof_frictionloss = np.zeros(nv, np.float32)
         qpos0 = np.zeros(nq, np.float32)
         for i, l in enumerate(self._links):
             t = l["jnt_type"]
@@ -349,6 +363,7 @@ class ModelBuilder:
             d = JOINT_NV[t]
             dof_damping[vadr[i] : vadr[i] + d] = l["damping"]
             dof_armature[vadr[i] : vadr[i] + d] = l["armature"]
+            dof_frictionloss[vadr[i] : vadr[i] + d] = l.get("frictionloss", 0.0)
             if t == FREE:
                 qpos0[qadr[i] + 3] = 1.0
             elif t == BALL:
@@ -436,6 +451,9 @@ class ModelBuilder:
             jnt_springref=np.asarray([l["springref"] for l in self._links], np.float32),
             dof_damping=dof_damping,
             dof_armature=dof_armature,
+            dof_frictionloss=(
+                dof_frictionloss if np.any(dof_frictionloss) else None
+            ),
             link_mass=np.asarray([l["mass"] for l in self._links], np.float32),
             link_com=np.stack([l["com"] for l in self._links]),
             link_inertia_com=np.stack([l["inertia_com"] for l in self._links]),

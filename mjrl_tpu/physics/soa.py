@@ -1053,18 +1053,36 @@ def substep(model: Model, q: jax.Array, qd: jax.Array, ctrl: jax.Array, dt: floa
             tau = tau + _tendon_forces(model, q, qd, tendon)
         damping = _c(model.dof_damping)
         rhs = tau - C - damping * qd
+        from mjrl_tpu.physics.engine import friction_terms
+
+        fric_rows = None
+        f_fric, d_fric = friction_terms(model, qd)  # batch-last (nv, B)
+        if f_fric is not None:
+            rhs = rhs + f_fric
+            # per-dof (1, B) implicit-diagonal rows for the LTDL solve,
+            # dt-scaled like the limit dampers (engine-path twin above)
+            fric_rows = [np.float32(dt) * d_fric[k][None, :] for k in range(model.nv)]
         if newton:
             # contacts + limits as MuJoCo soft constraints (csolve.py twin)
             from mjrl_tpu.physics import soa_newton
 
-            qdd0 = _ltdl_solve(model, tab, M, rhs, dt, None)
+            qdd0 = _ltdl_solve(model, tab, M, rhs, dt, fric_rows)
             qdd = soa_newton.constrained_qdd(
-                model, pos, cdof, M, q, qd, qdd0, candidates, dt
+                model, pos, cdof, M, q, qd, qdd0, candidates, dt,
+                fric_diag=fric_rows,
             )
         else:
-            qdd = _ltdl_solve(
-                model, tab, M, rhs, dt, _limit_damping_rows(model, q, dt)
-            )
+            limit_rows = _limit_damping_rows(model, q, dt)
+            if fric_rows is not None:
+                limit_rows = [
+                    (
+                        f if l is None
+                        else l if f is None
+                        else l + f
+                    )
+                    for l, f in zip(limit_rows, fric_rows)
+                ]
+            qdd = _ltdl_solve(model, tab, M, rhs, dt, limit_rows)
         return _integrate(model, q, qd, qdd, dt)
     finally:
         _LANES = prev_lanes

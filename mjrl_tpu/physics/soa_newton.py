@@ -331,13 +331,17 @@ def constrained_qdd(
     qdd0: jax.Array,
     candidates,
     dt: float,
+    fric_diag=None,
 ) -> jax.Array:
     """Newton solve of the primal soft-constraint problem, batch-last.
 
     ``M`` is the sparse CRB mass matrix from soa._mass_matrix_sparse;
     the metric adds armature + dt*damping on the diagonal (implicitfast
     joint damping, matching csolve.forward_qacc's dt > 0 path). ``qdd0``
-    is the unconstrained acceleration (nv, B).
+    is the unconstrained acceleration (nv, B). ``fric_diag`` is the
+    optional per-dof list of dt-scaled (1, B) dry-friction Jacobian rows
+    (engine.friction_terms), added to the metric exactly as
+    csolve.forward_qacc adds them for the engine path.
     """
     ensure_solver_params(model)
     nv = model.nv
@@ -358,6 +362,8 @@ def constrained_qdd(
         base = Mfull[k][k]
         add = float(extra[k])
         Mfull[k][k] = base + np.float32(add) if add != 0.0 else base
+        if fric_diag is not None and fric_diag[k] is not None:
+            Mfull[k][k] = Mfull[k][k] + fric_diag[k]
 
     def mat_vec(xs: List[jax.Array]) -> List[jax.Array]:
         out: List[Optional[jax.Array]] = [None] * nv

@@ -63,6 +63,9 @@ def test_bridge_smooth_dynamics(relocate_pair):
     model = model_from_mujoco(mj)
     model.limit_stiffness = 0.0
     model.limit_damping = 0.0
+    # dof dry friction is a CONSTRAINT row in MuJoCo (not in qfrc_passive),
+    # so the constraint-free reference below has none; zero ours to match
+    model.dof_frictionloss = None
     m2 = load_mj_model(_adroit_asset("relocate"))
     m2.opt.disableflags |= (
         mujoco.mjtDisableBit.mjDSBL_CONTACT | mujoco.mjtDisableBit.mjDSBL_LIMIT
@@ -232,3 +235,46 @@ def test_hammer_nail_curriculum_reset():
     assert bool(
         jnp.all(st_ref.link_delta[:, board, 2] == st_cur.link_delta[:, board, 2])
     )
+
+
+def test_hammer_nail_physics_fixed():
+    """Two historical physics bugs that made hammer unwinnable (round-3
+    discovery: every 0%-success hammer campaign trained on a broken task):
+    1. the MJCF <exclude body1='nail_board' body2='nail'/> was matched
+       against WELD ids (nail_board welds to world -> never matched), so a
+       spurious nail-vs-board contact capped the nail 3.4 cm short of goal;
+    2. dof_frictionloss (2.5 N on nail_dir — the only thing holding the
+       nail in MuJoCo) was ignored, so the nail drifted freely.
+    This pins: no nail-board pair, frictionloss present, and stiction —
+    a deep init holds to ~f32 precision over steps of a zero-action hand."""
+    from mjrl_tpu import envs
+    from mjrl_tpu.physics import PhysicsState
+
+    env = envs.make("adroit_hammer", nail_init_max=1.0)
+    m = env.model
+    nail_g = [g for g in range(m.ngeom) if m.geom_link[g] == env._link["nail"]]
+    board_g = [
+        g for g in range(m.ngeom) if m.geom_link[g] == env._link["nail_board"]
+    ]
+    assert not [
+        p
+        for p in m.contact_pairs
+        if (p[0] in nail_g and p[1] in board_g)
+        or (p[1] in nail_g and p[0] in board_g)
+    ]
+    jq = env._jnt_q["nail_dir"]
+    assert m.dof_frictionloss is not None
+    assert float(m.dof_frictionloss[jq]) == 2.5
+    B = 4
+    st, _ = jax.jit(jax.vmap(env.reset))(jax.random.split(jax.random.PRNGKey(1), B))
+    depth0 = st.ps.q[:, jq]
+    assert float(depth0.max()) > 0.03  # curriculum gave at least one deep init
+    step = jax.jit(jax.vmap(env.step))
+    for _ in range(4):
+        st, *_ = step(st, jnp.zeros((B, env.spec.action_dim)))
+    assert float(jnp.max(jnp.abs(st.ps.q[:, jq] - depth0))) < 2e-3  # stiction
+    # an impact-scale inward velocity must actually drive the nail deeper
+    qd = st.ps.qd.at[:, jq].set(1.0)
+    st2 = st._replace(ps=PhysicsState(q=st.ps.q, qd=qd))
+    st2, *_ = step(st2, jnp.zeros((B, env.spec.action_dim)))
+    assert float(jnp.min(st2.ps.q[:, jq] - st.ps.q[:, jq])) > 2e-3
