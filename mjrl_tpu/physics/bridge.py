@@ -193,7 +193,10 @@ def model_from_mujoco(m) -> Model:
             # the world, so its weld id is 0, never matching the signature)
             # — which left a spurious nail-vs-board contact that capped the
             # nail 3.4 cm short of its goal and made the task unwinnable.
-            if wi == wj or (bi, bj) in excl or (wi, wj) in excl:
+            # Raw ids ONLY: adding a weld-id match here would over-exclude
+            # (a body welded to an excluded body's weld root would inherit
+            # the exclusion that MuJoCo does not apply).
+            if wi == wj or (bi, bj) in excl:
                 continue
             # parent filter — MuJoCo exempts the world body: a geom welded
             # to the world must still collide with free-standing children

@@ -448,7 +448,13 @@ def forward_qacc(
     damping = jnp.asarray(model.dof_damping)
     from mjrl_tpu.physics.engine import friction_terms, passive_forces_smooth
 
-    f_fric, d_fric = friction_terms(model, state.qd)
+    # dt == 0 is the mj_forward parity surface: MuJoCo reports
+    # frictionloss through constraint rows there, NOT smooth dynamics, so
+    # adding the regularized tanh force would diverge from d.qacc on
+    # frictionloss models. Gate on dt > 0 (integration use only).
+    f_fric, d_fric = (
+        friction_terms(model, state.qd) if dt > 0 else (None, None)
+    )
     diag = jnp.asarray(model.dof_armature) + dt * damping
     if f_fric is not None:
         # same regularized-passive treatment as the penalty path (MuJoCo

@@ -738,8 +738,19 @@ def friction_terms(model: Model, qd: jax.Array):
     if fl is None or not np.any(np.asarray(fl)):
         return None, None
     fl = np.asarray(fl, np.float32)
-    if qd.ndim == 2:  # batch-last SoA rows: constants as (nv, 1)
-        fl = fl[:, None]
+    if qd.ndim == 2:
+        # batch-last SoA rows. Built from python scalars (soa._c style),
+        # NOT an np (nv, 1) operand: the latter becomes a captured array
+        # constvar when this traces inside the Pallas mega-kernel, which
+        # pallas_call rejects ("captures constants ... pass them as
+        # inputs").
+        fl = jnp.concatenate(
+            [
+                jnp.full((1, qd.shape[1]), float(s), jnp.float32)
+                for s in fl
+            ],
+            axis=0,
+        )
     v_eps = np.float32(model.dof_friction_vel)
     t = jnp.tanh(qd / v_eps)
     return -fl * t, (fl / v_eps) * (1.0 - t * t)

@@ -31,7 +31,11 @@ def run_job(cfg: RunConfig, output: str) -> None:
     if cfg.init_policy_from:
         init_state = policy_warm_start(cfg, agent, seed=cfg.seed)
     if cfg.bc_init:
-        init_state = warm_start(cfg, agent, policy, seed=cfg.seed)
+        # threads a preceding init_policy_from state through so BC
+        # fine-tunes the restored policy rather than a fresh init
+        init_state = warm_start(
+            cfg, agent, policy, seed=cfg.seed, state=init_state
+        )
     if cfg.obs_norm:
         import jax
 

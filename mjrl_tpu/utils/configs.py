@@ -207,10 +207,13 @@ def obs_norm_init(agent, state, key, scale_min: float = 1e-2):
     return state.replace(transforms=transforms)
 
 
-def warm_start(cfg: RunConfig, agent, policy, seed: int = 0):
+def warm_start(cfg: RunConfig, agent, policy, seed: int = 0, state=None):
     """BC warm start (DAPG stage 1): returns the agent's initial state with
     policy params/transforms fit to the demos (reference: BC.train() before
-    DAPG iterations in the hand_dapg job scripts)."""
+    DAPG iterations in the hand_dapg job scripts). ``state`` (optional)
+    starts BC from an existing train state — e.g. the result of
+    ``policy_warm_start`` when a config combines ``init_policy_from`` with
+    ``bc_init`` — instead of a fresh ``agent.init``."""
     import jax
 
     from mjrl_tpu.algos.bc import BC
@@ -220,7 +223,8 @@ def warm_start(cfg: RunConfig, agent, policy, seed: int = 0):
         raise ValueError("bc_init requires demo_file")
     demo_batch = load_demo_pickle(cfg.demo_file)
     bc = BC(demo_batch, policy, **cfg.bc_kwargs)
-    state = agent.init(jax.random.PRNGKey(seed))
+    if state is None:
+        state = agent.init(jax.random.PRNGKey(seed))
     params, transforms, metrics = jax.jit(bc.train)(
         state.params, state.transforms, jax.random.fold_in(jax.random.PRNGKey(seed), 1)
     )

@@ -90,10 +90,14 @@ def main() -> None:
             # generation) between training jobs on the single-claim
             # tunneled backend (a subprocess would deadlock on the claim).
             # Failures are logged but NON-fatal: probes must not cancel the
-            # training tail behind them.
+            # training tail behind them. Scripts run via runpy share this
+            # process's globals — they must NOT mutate process-global
+            # config (jax config flags, sys.path, module caches) or the
+            # leakage hits every job queued after them.
             import runpy
+            import shlex
 
-            argv = line[1:].strip().split()
+            argv = shlex.split(line[1:].strip())
             print(f"[queue] py: {' '.join(argv)}", flush=True)
             saved = sys.argv
             try:
