@@ -190,9 +190,25 @@ class AdroitEnv(Env):
 
 
 class AdroitRelocateEnv(AdroitEnv):
-    """Move the blue ball to the target location (mj_envs relocate-v0)."""
+    """Move the blue ball to the target location (mj_envs relocate-v0).
+
+    ``curriculum`` (default 0.0 = reference behavior) enables a
+    reverse-curriculum reset: each episode blends the ball's initial
+    position toward the target by ``u ~ U(0, curriculum)`` — at u=1 the
+    ball starts midair AT the target (instant success region; it free-
+    falls unless caught), intermediate u starts it part-way. Rationale:
+    relocate is unsolvable from scratch (grasp discovery never happens
+    under Gaussian exploration — RSS-2018 uses 25 human demos, which are
+    not redistributable in this environment); near-solved inits make the
+    +10/+20 goal bonuses sampled from iteration 0 so the value function
+    carries signal back to harder inits, the same mechanism as the hammer
+    nail curriculum above. All difficulty levels batched; one compile."""
 
     task = "relocate"
+
+    def __init__(self, *args, curriculum: float = 0.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.curriculum = float(curriculum)
 
     @property
     def obs_dim(self) -> int:
@@ -224,6 +240,14 @@ class AdroitRelocateEnv(AdroitEnv):
             minval=jnp.array([-0.2, -0.2, 0.15]),
             maxval=jnp.array([0.2, 0.2, 0.35]),
         )
+        if self.curriculum > 0.0:
+            # fold_in (not split) keeps the spawn/target streams bit-exact
+            # with the curriculum=0 reference behavior
+            ku = jax.random.fold_in(key, 1)
+            u = jax.random.uniform(ku, (), maxval=self.curriculum)
+            spawn = jnp.stack([dx, dy, base[2]])  # world pos at table spawn
+            init = (1.0 - u) * spawn + u * target
+            delta = delta.at[obj_root].set(init - base)
         st = AdroitState(PhysicsState(q=q, qd=qd), delta, target)
         return st, self._obs(st)
 

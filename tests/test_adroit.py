@@ -278,3 +278,33 @@ def test_hammer_nail_physics_fixed():
     st2 = st._replace(ps=PhysicsState(q=st.ps.q, qd=qd))
     st2, *_ = step(st2, jnp.zeros((B, env.spec.action_dim)))
     assert float(jnp.min(st2.ps.q[:, jq] - st.ps.q[:, jq])) > 2e-3
+
+
+def test_relocate_reverse_curriculum():
+    """Relocate ``curriculum`` reset: per-episode u ~ U(0, c) blends the
+    ball's spawn toward the target (u=1 -> starts AT the target, the
+    instant-success region), while curriculum=0 keeps the reference
+    spawn/target streams bit-exact (fold_in, not split)."""
+    from mjrl_tpu import envs
+
+    env = envs.make("adroit_relocate", curriculum=1.0)
+    ref = envs.make("adroit_relocate")
+
+    @jax.jit
+    def gd_of(seed):
+        st, _ = env.reset(jax.random.PRNGKey(seed))
+        obj = env._kin(st).pos[env._link["Object"]]
+        return jnp.linalg.norm(obj - st.target)
+
+    gds = np.array([float(gd_of(s)) for s in range(8)])
+    assert gds.min() < 0.02  # at least one near-solved init in 8 draws
+    assert gds.max() > 0.2  # ... and at least one hard one
+
+    @jax.jit
+    def targets(seed):
+        st0, _ = ref.reset(jax.random.PRNGKey(seed))
+        st1, _ = env.reset(jax.random.PRNGKey(seed))
+        return st0.target, st1.target
+
+    t0, t1 = targets(3)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
