@@ -93,11 +93,18 @@ def _time_iters(agent, num_envs: int, horizon: int, iters: int):
         state, metrics = step(state, jax.random.PRNGKey(i))
     float(metrics["stoc_pol_mean"])
 
-    valid = 0.0
+    # Keep the loop free of host syncs: reading a scalar per iteration
+    # (the round-3 version) serializes dispatch through the tunnel and
+    # costs ~30% throughput. Accumulate num_samples as device values and
+    # fence ONCE with a single readback that chains on every iteration.
+    import jax.numpy as jnp
+
+    sample_counts = []
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, jax.random.PRNGKey(100 + i))
-        valid += float(metrics["num_samples"])  # also fences each iteration
+        sample_counts.append(metrics["num_samples"])
+    valid = float(jnp.stack(sample_counts).sum())  # the timing fence
     dt = time.perf_counter() - t0
     return num_envs * horizon * iters / dt, valid / dt
 
