@@ -114,6 +114,34 @@ class LocomotionEnv(Env):
     def _healthy(self, ps: PhysicsState) -> jax.Array:
         return jnp.ones((), bool)
 
+    # -- model-based acceleration hooks (ModelAccelNPG; reference:
+    # mjrl/algos/model_accel's per-task reward functions) -------------------
+    def _healthy_from_obs(self, obs: jax.Array) -> jax.Array:
+        """Obs-space twin of ``_healthy`` for imagined transitions.
+        Subclasses with termination override this alongside ``_healthy``."""
+        return jnp.ones((), bool)
+
+    def reward_from_obs(self, obs, action, next_obs) -> jax.Array:
+        """Reward of an imagined transition, from observations alone.
+
+        The root x position is excluded from gym observations, so the
+        forward velocity is read from the observed qvel channel
+        (``next_obs[nq - exclude_positions]``) instead of the positional
+        finite difference ``step`` uses — the two agree up to the obs
+        qvel clip and instantaneous-vs-frame-averaged velocity."""
+        nq_obs = self.model.nq - self.exclude_positions
+        x_velocity = next_obs[nq_obs]
+        ctrl_cost = self.ctrl_cost_weight * jnp.sum(jnp.square(action))
+        healthy = self._healthy_from_obs(next_obs)
+        return (
+            self.forward_reward_weight * x_velocity
+            - ctrl_cost
+            + self.healthy_reward * healthy.astype(x_velocity.dtype)
+        )
+
+    def terminated_from_obs(self, next_obs) -> jax.Array:
+        return jnp.logical_not(self._healthy_from_obs(next_obs))
+
     def _x_pos(self, ps: PhysicsState) -> jax.Array:
         return ps.q[0]
 
@@ -179,6 +207,11 @@ class HopperEnv(LocomotionEnv):
         healthy_z = ps.q[1] > 0.7
         healthy_angle = jnp.abs(ps.q[2]) < 0.2
         return healthy_state & healthy_z & healthy_angle
+
+    def _healthy_from_obs(self, obs: jax.Array) -> jax.Array:
+        # obs = q[1:] ++ clipped qd: obs[0]=z, obs[1]=angle, obs[2:]=rest
+        healthy_state = jnp.all(jnp.abs(obs[1:]) < 100.0)
+        return healthy_state & (obs[0] > 0.7) & (jnp.abs(obs[1]) < 0.2)
 
 
 class Walker2dEnv(LocomotionEnv):

@@ -101,3 +101,26 @@ def test_model_accel_npg_improves():
     # checkpoint-shaped state: one pytree incl. dynamics
     flat, _ = jax.tree_util.tree_flatten(state)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in flat if hasattr(x, "dtype") and np.issubdtype(np.asarray(x).dtype, np.floating))
+
+
+def test_hopper_model_reward_tracks_real():
+    """Locomotion model-based hooks (round 4): reward_from_obs reads the
+    forward velocity from the observed qvel channel; on REAL consecutive
+    observation pairs it must track step()'s positional finite-difference
+    reward closely (instantaneous-vs-frame-averaged velocity is the only
+    gap), and terminated_from_obs must mirror the healthy predicate."""
+    env = envs.make("hopper", horizon=40)
+    pol = GaussianMLP(env.spec, hidden_sizes=(8,), init_log_std=0.0)
+    params, tf = pol.init(jax.random.PRNGKey(7)), pol.init_transforms()
+    b = sample_episodes(env, pol, params, tf, jax.random.PRNGKey(2), 64, 40)
+    r2 = jax.vmap(jax.vmap(env.reward_from_obs))(
+        b.observations[:, :-1], b.actions[:, :-1], b.observations[:, 1:]
+    )
+    w = np.asarray(b.valid[:, :-1] & b.valid[:, 1:], bool)
+    d = np.abs(np.asarray(b.rewards[:, :-1] - r2)[w])
+    assert w.sum() > 500
+    assert d.mean() < 0.08, d.mean()
+    # healthy everywhere the episode continued; terminal rows flagged
+    term_obs = jax.vmap(jax.vmap(env.terminated_from_obs))(b.observations)
+    cont = np.asarray(b.valid[:, :-1] & b.valid[:, 1:], bool)
+    assert not np.asarray(term_obs[:, 1:])[cont].any()
