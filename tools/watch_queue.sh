@@ -6,7 +6,16 @@
 # Usage: tools/watch_queue.sh <queue.txt> <logfile>
 set -u
 QF=$1; LOG=$2
-GRACE=${GRACE:-900}
+# 25 min: longer than the longest observed fresh remote compile (~20 min
+# for the big adroit programs). A false kill is cheap — the job resumes
+# from its checkpoint and the persistent compile cache absorbs the
+# recompile — while a missed stall idles the chip indefinitely. NOTE the
+# previous heuristic ("an ESTABLISHED relay connection means the far end
+# is working") is unusable under AXON_LOOPBACK_RELAY: the loopback
+# connection stays ESTABLISHED even when the claim is lost (observed on a
+# humanoid run stalled 15+ min at 0% CPU with the socket ESTAB), so age
+# is measured purely by log growth.
+GRACE=${GRACE:-1500}
 cd "$(dirname "$0")/.."
 touch "$LOG"
 while :; do
@@ -16,12 +25,6 @@ while :; do
   while kill -0 $PID 2>/dev/null; do
     sleep 60
     age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
-    # an ESTABLISHED connection to the relay means the far end is working
-    # for us (e.g. a long remote compile) — only a silent AND disconnected
-    # process is a lost claim
-    if ss -tnp 2>/dev/null | grep -q "pid=$PID,"; then
-      age=0
-    fi
     if [ "$age" -ge "$GRACE" ]; then
       echo "[watchdog] $(date -u +%H:%M:%S) queue stalled ${age}s, restarting" >> "$LOG"
       kill $PID 2>/dev/null; sleep 5; kill -9 $PID 2>/dev/null
