@@ -15,7 +15,9 @@ QF=$1; LOG=$2
 # connection stays ESTABLISHED even when the claim is lost (observed on a
 # humanoid run stalled 15+ min at 0% CPU with the socket ESTAB), so age
 # is measured purely by log growth.
-GRACE=${GRACE:-1500}
+GRACE=${GRACE:-3600}        # compile phases (fresh program: up to ~1h remote)
+GRACE_TRAIN=${GRACE_TRAIN:-420}  # steady-state training prints a table row
+                                 # every iteration, so 7 silent minutes = stall
 cd "$(dirname "$0")/.."
 touch "$LOG"
 while :; do
@@ -25,7 +27,17 @@ while :; do
   while kill -0 $PID 2>/dev/null; do
     sleep 60
     age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
-    if [ "$age" -ge "$GRACE" ]; then
+    # Which grace applies? If the last meaningful log line is a job/py
+    # start, a demo/warm-start banner, or a golden-table write, the queue
+    # is legitimately silent inside a (possibly very long) compile;
+    # anything else means a per-iteration table was printing and silence
+    # is a stall.
+    last=$(grep -avE "WARNING|experimental|reward functions|^$" "$LOG" | tail -1)
+    case "$last" in
+      *"[queue]"*|*"wrote "*|*"warm start"*|*"Policy warm"*) grace=$GRACE ;;
+      *) grace=$GRACE_TRAIN ;;
+    esac
+    if [ "$age" -ge "$grace" ]; then
       echo "[watchdog] $(date -u +%H:%M:%S) queue stalled ${age}s, restarting" >> "$LOG"
       kill $PID 2>/dev/null; sleep 5; kill -9 $PID 2>/dev/null
       wait $PID 2>/dev/null
