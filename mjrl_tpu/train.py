@@ -66,9 +66,16 @@ def load_config(config_path=None, overrides=()) -> RunConfig:
     for kv in overrides:
         k, _, v = kv.partition("=")
         try:
-            raw[k] = json.loads(v)
+            val = json.loads(v)
         except json.JSONDecodeError:
-            raw[k] = v
+            val = v
+        # dotted paths override inside dict-valued fields, e.g.
+        # env_kwargs.curriculum=0.5 (the reference passes env_kwargs
+        # through its job scripts the same way)
+        node, parts = raw, k.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = val
     return RunConfig.from_dict(raw)
 
 

@@ -164,3 +164,23 @@ def test_init_policy_from_cross_run(tmp_path):
         float(jnp.abs(a - b).sum()) for a, b in zip(dst_leaves, fresh_leaves)
     )
     assert d_src < 0.5 * d_fresh, (d_src, d_fresh)
+
+
+def test_load_config_dotted_overrides():
+    """--set supports dotted paths into dict-valued fields (staged
+    curricula override env_kwargs without a dedicated config file)."""
+    from mjrl_tpu.train import load_config
+
+    cfg = load_config(
+        None,
+        [
+            "env_name=ant",
+            "env_kwargs.constraint_solver=newton",
+            "env_kwargs.n_substeps=2",
+            "baseline_kwargs.epochs=3",
+            "niter=5",
+        ],
+    )
+    assert cfg.env_kwargs == {"constraint_solver": "newton", "n_substeps": 2}
+    assert cfg.baseline_kwargs == {"epochs": 3}
+    assert cfg.niter == 5
