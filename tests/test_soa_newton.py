@@ -170,3 +170,34 @@ def test_soa_newton_matches_engine_golden_adroit_hammer():
     np.testing.assert_allclose(
         np.asarray(got_qd).T, g["ref_qd"], rtol=3e-3, atol=3e-3
     )
+
+
+@_slow
+def test_soa_newton_matches_engine_golden_adroit_pen():
+    """Pen twin of the hammer golden case (different contact population:
+    pen-vs-fingers capsule narrow phases, no box stack). Table from
+    tools/gen_newton_golden.py adroit_pen on TPU."""
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "adroit_pen_newton_substep.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip(
+            "golden table missing — run tools/gen_newton_golden.py adroit_pen"
+        )
+    g = np.load(path)
+    env = envs.make("adroit_pen", constraint_solver="newton")
+    model = env.model
+    assert soa.soa_supported(model)
+    model.solver_iters = int(g["solver_iters"])
+    delta_bl = g["link_delta"].reshape(g["link_delta"].shape[0], -1).T
+    got_q, got_qd = jax.jit(
+        lambda q, qd, c, ld: soa.substep(
+            model, q, qd, c, float(g["dt"]), None, ld
+        )
+    )(g["q"].T, g["qd"].T, g["ctrl"].T, delta_bl)
+    np.testing.assert_allclose(
+        np.asarray(got_q).T, g["ref_q"], rtol=3e-4, atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_qd).T, g["ref_qd"], rtol=3e-3, atol=3e-3
+    )
