@@ -118,7 +118,20 @@ class LocomotionEnv(Env):
     # mjrl/algos/model_accel's per-task reward functions) -------------------
     def _healthy_from_obs(self, obs: jax.Array) -> jax.Array:
         """Obs-space twin of ``_healthy`` for imagined transitions.
-        Subclasses with termination override this alongside ``_healthy``."""
+
+        Subclasses with termination MUST override this alongside
+        ``_healthy``; otherwise model-based rollouts (ModelAccelNPG) would
+        silently never terminate and pay healthy_reward unconditionally —
+        wrong results with no error (round-4 advisor finding). A subclass
+        that overrides ``_healthy`` without this twin fails loudly here.
+        """
+        if type(self)._healthy is not LocomotionEnv._healthy:
+            raise NotImplementedError(
+                f"{type(self).__name__} overrides _healthy (it terminates) "
+                "but not _healthy_from_obs; model-based imagined rollouts "
+                "would use a wrong always-healthy predicate. Override "
+                "_healthy_from_obs to match _healthy in obs space."
+            )
         return jnp.ones((), bool)
 
     def reward_from_obs(self, obs, action, next_obs) -> jax.Array:
@@ -227,6 +240,10 @@ class Walker2dEnv(LocomotionEnv):
         z, angle = ps.q[1], ps.q[2]
         return (z > 0.8) & (z < 2.0) & (jnp.abs(angle) < 1.0)
 
+    def _healthy_from_obs(self, obs: jax.Array) -> jax.Array:
+        # obs = q[1:] ++ clipped qd: obs[0]=z, obs[1]=torso angle
+        return (obs[0] > 0.8) & (obs[0] < 2.0) & (jnp.abs(obs[1]) < 1.0)
+
 
 class HalfCheetahEnv(LocomotionEnv):
     """HalfCheetah-v4 conventions (no termination, ctrl cost 0.1)."""
@@ -270,6 +287,11 @@ class AntEnv(LocomotionEnv):
         z = ps.q[2]
         finite = jnp.all(jnp.isfinite(ps.q)) & jnp.all(jnp.isfinite(ps.qd))
         return finite & (z > 0.2) & (z < 1.0)
+
+    def _healthy_from_obs(self, obs: jax.Array) -> jax.Array:
+        # obs = q[2:] ++ qd: obs[0]=z; finiteness checked over the obs
+        finite = jnp.all(jnp.isfinite(obs))
+        return finite & (obs[0] > 0.2) & (obs[0] < 1.0)
 
 
 class HumanoidEnv(LocomotionEnv):
@@ -328,6 +350,10 @@ class HumanoidEnv(LocomotionEnv):
     def _healthy(self, ps: PhysicsState) -> jax.Array:
         z = ps.q[2]
         return (z > 1.0) & (z < 2.0)
+
+    def _healthy_from_obs(self, obs: jax.Array) -> jax.Array:
+        # both obs modes lead with qpos[2:]: obs[0]=z
+        return (obs[0] > 1.0) & (obs[0] < 2.0)
 
     def _x_pos(self, ps: PhysicsState) -> jax.Array:
         # gym humanoid measures forward progress of the mass center

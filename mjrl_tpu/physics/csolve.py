@@ -440,7 +440,14 @@ def forward_qacc(
     mujoco's ``d.qacc``. With ``dt > 0`` (integration use) ``dt*damping``
     is added to the metric, making joint damping semi-implicit — MuJoCo's
     implicitfast treatment. Contacts/limits come from the Newton constraint
-    solve; ``f_ext_world`` carries additional smooth wrenches (fluid)."""
+    solve; ``f_ext_world`` carries additional smooth wrenches (fluid).
+
+    dt==0 parity limitation (round-4 advisor): MuJoCo's ``d.qacc``
+    includes ``dof_frictionloss`` via constraint rows, but this surface
+    drops friction entirely at dt==0 (the tanh regularization belongs to
+    the dt>0 integration path only). So dt==0 parity vs ``d.qacc`` holds
+    ONLY for frictionloss-free models; pinned by
+    tests/test_csolve.py::test_dt0_frictionloss_divergence_pinned."""
     from mjrl_tpu.ops.smallchol import chol_solve_small
 
     ensure_solver_params(model)

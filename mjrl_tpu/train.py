@@ -73,8 +73,16 @@ def load_config(config_path=None, overrides=()) -> RunConfig:
         # env_kwargs.curriculum=0.5 (the reference passes env_kwargs
         # through its job scripts the same way)
         node, parts = raw, k.split(".")
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
+        for i, part in enumerate(parts[:-1]):
+            if node.get(part) is None:
+                node[part] = {}
+            node = node[part]
+            if not isinstance(node, dict):
+                raise SystemExit(
+                    f"cannot apply override {k!r}: "
+                    f"{'.'.join(parts[: i + 1])!r} is "
+                    f"{type(node).__name__}, not a dict"
+                )
         node[parts[-1]] = val
     return RunConfig.from_dict(raw)
 

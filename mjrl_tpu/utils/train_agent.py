@@ -194,6 +194,18 @@ def train_agent(
             else:
                 print(f"iter {i}: " + " ".join(f"{k}={v:.4f}" for k, v in items))
 
+        # Explicit phase sentinel for tools/watch_queue.sh (round-4 advisor:
+        # log-tail pattern matching misclassified legitimately-silent
+        # phases). An iteration completing means we are in steady-state
+        # training: the watchdog may use its short grace from here on.
+        hb = os.environ.get("MJRL_TPU_HEARTBEAT")
+        if hb:
+            try:
+                with open(hb, "w") as f:
+                    f.write("train\n")
+            except OSError:
+                pass
+
     ckpt.wait()
     logger.save_log(logdir)
     make_train_plots(log=logger, keys=plot_keys, save_loc=logdir)

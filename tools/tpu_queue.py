@@ -71,6 +71,20 @@ def main() -> None:
 
     from mjrl_tpu.train import load_config, run_job
 
+    def mark_phase(phase: str) -> None:
+        # Phase sentinel for tools/watch_queue.sh: "compile" on job/step
+        # start (long watchdog grace — fresh remote compiles run up to
+        # ~1h), flipped to "train" by train_agent after each completed
+        # iteration (short grace). Replaces the log-tail pattern matching
+        # the round-4 advisor flagged as misclassification-prone.
+        hb = os.environ.get("MJRL_TPU_HEARTBEAT")
+        if hb:
+            try:
+                with open(hb, "w") as f:
+                    f.write(phase + "\n")
+            except OSError:
+                pass
+
     failures = 0
     for line in lines:
         if line.startswith("!"):
@@ -99,6 +113,7 @@ def main() -> None:
 
             argv = shlex.split(line[1:].strip())
             print(f"[queue] py: {' '.join(argv)}", flush=True)
+            mark_phase("compile")
             saved = sys.argv
             try:
                 sys.argv = argv
@@ -122,6 +137,7 @@ def main() -> None:
             print(f"[queue] {output}: already complete, skipping", flush=True)
             continue
         print(f"[queue] start {output} ({cfg_path})", flush=True)
+        mark_phase("compile")
         try:
             run_job(load_config(cfg_path, overrides), output)
             print(f"[queue] done {output}", flush=True)

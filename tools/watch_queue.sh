@@ -6,19 +6,26 @@
 # Usage: tools/watch_queue.sh <queue.txt> <logfile>
 set -u
 QF=$1; LOG=$2
-# 25 min: longer than the longest observed fresh remote compile (~20 min
-# for the big adroit programs). A false kill is cheap — the job resumes
-# from its checkpoint and the persistent compile cache absorbs the
-# recompile — while a missed stall idles the chip indefinitely. NOTE the
-# previous heuristic ("an ESTABLISHED relay connection means the far end
-# is working") is unusable under AXON_LOOPBACK_RELAY: the loopback
-# connection stays ESTABLISHED even when the claim is lost (observed on a
-# humanoid run stalled 15+ min at 0% CPU with the socket ESTAB), so age
-# is measured purely by log growth.
-GRACE=${GRACE:-3600}        # compile phases (fresh program: up to ~1h remote)
-GRACE_TRAIN=${GRACE_TRAIN:-420}  # steady-state training prints a table row
-                                 # every iteration, so 7 silent minutes = stall
+# Phase is tracked EXPLICITLY via a sentinel file (round-4 advisor: the
+# previous log-tail pattern matching misclassified any long silent phase
+# whose last line wasn't one of four known banners, causing kill loops
+# before the first checkpoint). tpu_queue.py writes "compile" on each
+# job/%py start; train_agent flips it to "train" after every completed
+# iteration. Silence is measured by log growth; which grace applies comes
+# from the sentinel:
+#   compile -> GRACE       (fresh remote compiles run up to ~1h)
+#   train   -> GRACE_TRAIN (steady state prints a table row per iteration,
+#                           so 7 silent minutes = stall; a false kill is
+#                           cheap — checkpoints exist once any iteration
+#                           completed, and the compile cache absorbs the
+#                           recompile)
+# NOTE an ESTABLISHED relay connection is NOT evidence of liveness under
+# AXON_LOOPBACK_RELAY (observed stalled 15+ min with the socket ESTAB).
+GRACE=${GRACE:-3600}
+GRACE_TRAIN=${GRACE_TRAIN:-420}
 cd "$(dirname "$0")/.."
+export MJRL_TPU_HEARTBEAT="${MJRL_TPU_HEARTBEAT:-$LOG.phase}"
+echo compile > "$MJRL_TPU_HEARTBEAT"
 touch "$LOG"
 while :; do
   python tools/tpu_queue.py "$QF" >> "$LOG" 2>&1 &
@@ -27,21 +34,17 @@ while :; do
   while kill -0 $PID 2>/dev/null; do
     sleep 60
     age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
-    # Which grace applies? If the last meaningful log line is a job/py
-    # start, a demo/warm-start banner, or a golden-table write, the queue
-    # is legitimately silent inside a (possibly very long) compile;
-    # anything else means a per-iteration table was printing and silence
-    # is a stall.
-    last=$(grep -avE "WARNING|experimental|reward functions|^$" "$LOG" | tail -1)
-    case "$last" in
-      *"[queue]"*|*"wrote "*|*"warm start"*|*"Policy warm"*) grace=$GRACE ;;
-      *) grace=$GRACE_TRAIN ;;
+    phase=$(cat "$MJRL_TPU_HEARTBEAT" 2>/dev/null || echo compile)
+    case "$phase" in
+      train*) grace=$GRACE_TRAIN ;;
+      *)      grace=$GRACE ;;
     esac
     if [ "$age" -ge "$grace" ]; then
-      echo "[watchdog] $(date -u +%H:%M:%S) queue stalled ${age}s, restarting" >> "$LOG"
+      echo "[watchdog] $(date -u +%H:%M:%S) queue stalled ${age}s (phase=$phase), restarting" >> "$LOG"
       kill $PID 2>/dev/null; sleep 5; kill -9 $PID 2>/dev/null
       wait $PID 2>/dev/null
       stalled=1
+      echo compile > "$MJRL_TPU_HEARTBEAT"
       sleep 90
       break
     fi
