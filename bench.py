@@ -59,14 +59,27 @@ if "--devices" in sys.argv:
         )
 
 
-def _build_agent(env_name: str, num_envs: int, horizon: int, mesh=None):
+def _build_agent(
+    env_name: str,
+    num_envs: int,
+    horizon: int,
+    mesh=None,
+    solver: str = "penalty",
+    n_substeps=None,
+    sample_mode: str = "trajectories",
+):
     import jax
 
     from mjrl_tpu import envs
     from mjrl_tpu.algos import NPG
     from mjrl_tpu.models import GaussianMLP, MLPBaseline
 
-    env = envs.make(env_name, horizon=horizon)
+    env_kwargs = {}
+    if solver != "penalty":
+        env_kwargs["constraint_solver"] = solver
+    if n_substeps is not None:
+        env_kwargs["n_substeps"] = n_substeps
+    env = envs.make(env_name, horizon=horizon, **env_kwargs)
     policy = GaussianMLP(env.spec, hidden_sizes=(64, 64))
     baseline = MLPBaseline(env.spec, epochs=2, batch_size=1024)
     agent = NPG(
@@ -75,7 +88,11 @@ def _build_agent(env_name: str, num_envs: int, horizon: int, mesh=None):
         baseline,
         normalized_step_size=0.05,
         num_traj=num_envs,
-        horizon=horizon,
+        # samples mode: window length = horizon arg; episode horizon stays
+        # the env's own (auto-reset handles termination)
+        num_samples=num_envs * horizon if sample_mode == "samples" else None,
+        horizon=env.spec.horizon if sample_mode == "samples" else horizon,
+        sample_mode=sample_mode,
         mesh=mesh,
     )
     return agent
@@ -111,18 +128,28 @@ def _time_iters(agent, num_envs: int, horizon: int, iters: int):
 
 def bench_single_chip(args) -> None:
     num_envs, horizon = args.base_envs, args.horizon
-    agent = _build_agent(args.env, num_envs, horizon)
+    agent = _build_agent(
+        args.env,
+        num_envs,
+        horizon,
+        solver=args.solver,
+        n_substeps=args.n_substeps,
+        sample_mode=args.sample_mode,
+    )
     computed, valid = _time_iters(agent, num_envs, horizon, args.iters)
     per_chip_target = 1_000_000.0 / 16.0
+    tag = "" if args.solver == "penalty" else f"_{args.solver}"
     print(
         json.dumps(
             {
-                "metric": f"valid_env_steps_per_sec_per_chip_{args.env}_npg_fused_iter",
+                "metric": f"valid_env_steps_per_sec_per_chip_{args.env}_npg_fused_iter{tag}",
                 "value": round(valid, 1),
                 "unit": "env-steps/s/chip",
                 "vs_baseline": round(valid / per_chip_target, 4),
                 "valid_steps_per_sec": round(valid, 1),
                 "computed_steps_per_sec": round(computed, 1),
+                "solver": args.solver,
+                "sample_mode": args.sample_mode,
             }
         )
     )
@@ -195,8 +222,20 @@ def main() -> None:
                         "slice) instead of the forced-CPU virtual mesh")
     p.add_argument("--env", default="ant")
     p.add_argument("--base-envs", type=int, default=None)
-    p.add_argument("--horizon", type=int, default=None)
+    p.add_argument("--horizon", type=int, default=None,
+                   help="steps per env per iteration (episodes mode: the "
+                        "episode horizon; samples mode: the window length)")
     p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--solver", default="penalty",
+                   choices=["penalty", "newton"],
+                   help="constraint physics: penalty fast path or "
+                        "MuJoCo-parity Newton (the physics-faithful row)")
+    p.add_argument("--n-substeps", type=int, default=None,
+                   help="physics substeps per control dt (default: env's "
+                        "own; newton runs use 1 = MuJoCo discretization)")
+    p.add_argument("--sample-mode", default="trajectories",
+                   choices=["trajectories", "samples"],
+                   help="episodes (padded) vs auto-reset windows")
     args = p.parse_args()
 
     if args.devices:
