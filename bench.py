@@ -46,6 +46,19 @@ import os
 import sys
 import time
 
+_OUT_PATH = None
+
+
+def _emit(obj) -> None:
+    """Print the one-line JSON; append to --out as JSONL when given (lets
+    the round-end queue run the bench as its last %py step and leave a
+    committed artifact — round-4 VERDICT missing #1)."""
+    line = json.dumps(obj)
+    print(line)
+    if _OUT_PATH:
+        with open(_OUT_PATH, "a") as f:
+            f.write(line + "\n")
+
 # Weak-scaling mode needs the forced device count in place BEFORE the XLA
 # backend initializes (this environment pre-imports jax via sitecustomize,
 # so the flag must be set at module import, not inside main). Peek at argv
@@ -139,8 +152,7 @@ def bench_single_chip(args) -> None:
     computed, valid = _time_iters(agent, num_envs, horizon, args.iters)
     per_chip_target = 1_000_000.0 / 16.0
     tag = "" if args.solver == "penalty" else f"_{args.solver}"
-    print(
-        json.dumps(
+    _emit(
             {
                 "metric": f"valid_env_steps_per_sec_per_chip_{args.env}_npg_fused_iter{tag}",
                 "value": round(valid, 1),
@@ -151,7 +163,6 @@ def bench_single_chip(args) -> None:
                 "solver": args.solver,
                 "sample_mode": args.sample_mode,
             }
-        )
     )
 
 
@@ -194,8 +205,7 @@ def bench_weak_scaling(args) -> None:
         args.iters,
     )
     efficiency = computedN / (n * computed1)
-    print(
-        json.dumps(
+    _emit(
             {
                 "metric": f"weak_scaling_efficiency_1_to_{n}_devices_{args.env}",
                 "value": round(efficiency, 4),
@@ -208,7 +218,6 @@ def bench_weak_scaling(args) -> None:
                 "valid_steps_per_sec_1dev": round(valid1, 1),
                 "valid_steps_per_sec_Ndev": round(validN, 1),
             }
-        )
     )
 
 
@@ -236,7 +245,11 @@ def main() -> None:
     p.add_argument("--sample-mode", default="trajectories",
                    choices=["trajectories", "samples"],
                    help="episodes (padded) vs auto-reset windows")
+    p.add_argument("--out", default=None,
+                   help="also append the JSON line to this file")
     args = p.parse_args()
+    global _OUT_PATH
+    _OUT_PATH = args.out
 
     if args.devices:
         # CPU-scale defaults: the virtual mesh validates harness + sharding,

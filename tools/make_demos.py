@@ -36,6 +36,20 @@ def main() -> None:
         default=None,
         help="keep only episodes with undiscounted return >= this",
     )
+    p.add_argument(
+        "--only-success",
+        action="store_true",
+        help="keep only episodes the env itself marks successful "
+        "(env_info['success'] fired at least once) — the demo-export "
+        "route for tasks where a weak policy succeeds occasionally "
+        "(relocate: 7%% honest-init success still yields demos)",
+    )
+    p.add_argument(
+        "--max-demos",
+        type=int,
+        default=None,
+        help="cap the output at the N highest-return surviving episodes",
+    )
     args = p.parse_args()
 
     from mjrl_tpu.samplers.rollout import sample_episodes
@@ -59,13 +73,27 @@ def main() -> None:
         cfg.horizon,
         eval_mode=not args.stochastic,
     )
-    paths = batch_to_paths(jax.device_get(batch))
+    batch = jax.device_get(batch)
+    paths = batch_to_paths(batch)
     rets = [float(np.sum(p["rewards"])) for p in paths]
+    if args.only_success:
+        es = np.asarray(batch.env_info["episode_success"]) * np.asarray(
+            batch.valid, np.float32
+        )
+        ok = es.max(axis=1) > 0
+        n0 = len(paths)
+        paths = [p for p, s in zip(paths, ok) if s]
+        rets = [r for r, s in zip(rets, ok) if s]
+        print(f"success filter: {len(paths)}/{n0} episodes")
     if args.min_return is not None:
         paths = [p for p, r in zip(paths, rets) if r >= args.min_return]
         rets = [r for r in rets if r >= args.min_return]
     if not paths:
         raise SystemExit("no episodes passed the return filter")
+    if args.max_demos is not None and len(paths) > args.max_demos:
+        order = np.argsort(rets)[::-1][: args.max_demos]
+        paths = [paths[i] for i in order]
+        rets = [rets[i] for i in order]
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "wb") as f:
         pickle.dump(paths, f)
