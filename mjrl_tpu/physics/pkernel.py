@@ -93,10 +93,17 @@ def multistep_pallas(
     nq, B = q.shape
     nv = qd.shape[0]
     nu = ctrl.shape[0]
-    if soa.num_contact_candidates(model) > 64:
+    ncand = soa.num_contact_candidates(model)
+    if ncand > 64:
         # candidate-heavy bodies (Adroit: ~680 contact points) blow the
         # 16M scoped-VMEM stack at 256 lanes; halve the block
         blk = min(blk, 128)
+    # NOTE on newton vmem (round-4 pen DAPG compile failure, 52 MB scoped
+    # vmem at the 16 MB limit): shrinking blk below 128 does NOT reduce
+    # the stack — every (1, B) row buffer occupies a full (8, 128) f32
+    # tile regardless of B < 128. The levers that work are (a) never
+    # unrolling substeps for candidate-heavy models (below) and (b) the
+    # packed row assembly in soa_newton keeping the live row count down.
     blk = min(blk, max(128, B))
     Bp = -(-B // blk) * blk
     if Bp != B:
@@ -109,7 +116,10 @@ def multistep_pallas(
         if link_delta is not None:
             link_delta = jnp.pad(link_delta, pad, mode="edge")
     total_substeps = n_frames * model.n_substeps
-    unroll = total_substeps <= _UNROLL_MAX
+    # Candidate-heavy models must NOT unroll: each unrolled substep's
+    # newton/contact row set extends the kernel's scoped-vmem high-water
+    # mark (dispatch.py's non-Pallas path has the same guard).
+    unroll = total_substeps <= _UNROLL_MAX and ncand <= 64
     spec = lambda rows: pl.BlockSpec(
         (rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM
     )

@@ -1069,7 +1069,7 @@ def substep(model: Model, q: jax.Array, qd: jax.Array, ctrl: jax.Array, dt: floa
             qdd0 = _ltdl_solve(model, tab, M, rhs, dt, fric_rows)
             qdd = soa_newton.constrained_qdd(
                 model, pos, cdof, M, q, qd, qdd0, candidates, dt,
-                fric_diag=fric_rows,
+                fric_diag=fric_rows, quat=quat,
             )
         else:
             limit_rows = _limit_damping_rows(model, q, dt)

@@ -320,6 +320,11 @@ def _chol_solve_rows(H, g: List[jax.Array], nv: int) -> List[jax.Array]:
 
 _ALPHAS = (1.0, 0.5, 0.25, 0.0625, 0.0)  # csolve's safeguarded fractions
 
+# Above this many narrow-phase candidates the rows are rebuilt inside each
+# Newton iteration instead of held across the loop (vmem: see
+# constrained_qdd docstring). Tests drop it to 0 to pin rebuild == held.
+_REBUILD_THRESHOLD = 64
+
 
 def constrained_qdd(
     model: Model,
@@ -332,6 +337,7 @@ def constrained_qdd(
     candidates,
     dt: float,
     fric_diag=None,
+    quat=None,
 ) -> jax.Array:
     """Newton solve of the primal soft-constraint problem, batch-last.
 
@@ -342,14 +348,49 @@ def constrained_qdd(
     optional per-dof list of dt-scaled (1, B) dry-friction Jacobian rows
     (engine.friction_terms), added to the metric exactly as
     csolve.forward_qacc adds them for the engine path.
+
+    Candidate-heavy models (Adroit, ~400-680 narrow-phase points) REBUILD
+    the constraint rows inside every Newton iteration instead of holding
+    them across the loop: each row costs several (8,128)-tile VMEM
+    buffers, so the precomputed ~1800-row set measured ~52 MB of scoped
+    vmem inside the Pallas mega-kernel against a 16 MB budget (round-4
+    pen DAPG compile failure). Rebuilding makes the rows transient —
+    live memory collapses to the loop carry + kinematics captures — at
+    ~10x the (cheap) row-assembly FLOPs. Row values are identical every
+    iteration (they depend on q/qd at substep entry, not on the iterate),
+    so this is semantically a no-op; a zero-valued tie to the loop carry
+    is mixed into the row inputs so loop-invariant code motion cannot
+    hoist the rebuild back out of the loop. ``quat`` must be passed for
+    the rebuild path (narrow phase re-runs inside the body).
     """
     ensure_solver_params(model)
     nv = model.nv
-    rows = _limit_rows(model, q, qd) + _contact_rows(
-        model, pos, cdof, qd, candidates
+    rebuild_in_loop = (
+        len(candidates) > _REBUILD_THRESHOLD and quat is not None
     )
-    if not rows:
-        return qdd0
+
+    def build_rows(tie):
+        if tie is None:
+            cands = candidates
+            lim = _limit_rows(model, q, qd)
+        else:
+            # Re-run the narrow phase from the (small) link poses so the
+            # candidate buffers are transient too; the carry-dependent
+            # zero ``tie`` mixed into the inputs defeats LICM without
+            # changing any value.
+            from mjrl_tpu.physics import soa as _soa
+
+            cands = _soa._contact_candidates(
+                model, [p + tie for p in pos], quat
+            )
+            lim = _limit_rows(model, q + tie, qd)
+        return lim + _contact_rows(model, pos, cdof, qd, cands)
+
+    outer_rows = None
+    if not rebuild_in_loop:
+        outer_rows = build_rows(None)
+        if not outer_rows:
+            return qdd0
 
     # full metric: M + diag(armature + dt*damping) as a 2D list (i >= j)
     extra = np.asarray(model.dof_armature, np.float32) + np.float32(
@@ -381,6 +422,10 @@ def constrained_qdd(
         return [o if o is not None else zero for o in out]
 
     def body(_, x):
+        if rebuild_in_loop:
+            rows = build_rows(np.float32(0.0) * x[0:1])
+        else:
+            rows = outer_rows
         xs = [x[j : j + 1] for j in range(nv)]
         d0 = [xs[j] - qdd0[j : j + 1] for j in range(nv)]
         Md0 = mat_vec(d0)
@@ -457,3 +502,41 @@ def constrained_qdd(
 
     iters = int(getattr(model, "solver_iters", 10))
     return jax.lax.fori_loop(0, iters, body, qdd0)
+
+
+def prune_to_active_pairs(model: Model, q_bl, link_delta_bl=None, slack=5e-3):
+    """Copy of ``model`` with ``contact_pairs`` restricted to pairs that
+    have a narrow-phase candidate within margin (+``slack``) at the given
+    batch-last states ``q_bl`` (nq, B).
+
+    EXACT-parity transformation for the Newton solve AT THESE STATES: an
+    out-of-margin row gets D = 0 (``_finish_row``), contributing zero to
+    the gradient, Hessian, and line-search cost, so dropping its pair
+    cannot change qacc. Used by the golden parity tests and
+    ``tools/gen_newton_golden.py --check`` to shrink the traced program
+    (the full adroit candidate set, ~400-680 points, is an hours-long
+    XLA:CPU compile and overflows the tunneled remote-compile helper);
+    NOT valid for training, where activity changes every step. ``slack``
+    keeps near-margin candidates so float jitter between this narrow
+    phase and the in-solver one cannot flip activity.
+    """
+    import copy as _copy
+
+    from mjrl_tpu.physics import soa as _soa
+
+    pos, quat = _soa._fk(model, jnp.asarray(q_bl), link_delta_bl)
+    cands = _soa._contact_candidates(model, pos, quat)
+    margin = np.asarray(model.geom_margin)
+    keep = set()
+    for c in cands:
+        thr = -(margin[c.gi] + margin[c.gj]) - slack
+        if float(jnp.max(c.depth)) > thr:
+            keep.add((c.gi, c.gj))
+    m2 = _copy.copy(model)
+    m2.contact_pairs = tuple(
+        (gi, gj)
+        for gi, gj in model.contact_pairs
+        if (gi, gj) in keep or (gj, gi) in keep
+    )
+    m2._pair_groups = None  # invalidate the cached pair tables
+    return m2

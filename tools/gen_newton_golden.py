@@ -101,8 +101,24 @@ def main() -> None:
             if link_delta is not None
             else None
         )
+        m_soa = model
+        if "--prune" in sys.argv:
+            # Exact-parity shrink to the pairs active at these states
+            # (soa_newton.prune_to_active_pairs): the FULL adroit SoA
+            # newton program overflowed the tunneled remote-compile
+            # helper in round 4 (~16 MB MLIR, SIGKILL) — the pruned
+            # program compiles in minutes and checks the same physics.
+            from mjrl_tpu.physics.soa_newton import prune_to_active_pairs
+
+            m_soa = prune_to_active_pairs(
+                model, np.asarray(ps.q, np.float32).T, delta_bl
+            )
+            print(
+                f"--prune: {soa.num_contact_candidates(m_soa)} of "
+                f"{soa.num_contact_candidates(model)} candidates kept"
+            )
         got_q, got_qd = jax.jit(
-            lambda q, qd, c, ld: soa.substep(model, q, qd, c, dt, None, ld)
+            lambda q, qd, c, ld: soa.substep(m_soa, q, qd, c, dt, None, ld)
         )(
             np.asarray(ps.q, np.float32).T,
             np.asarray(ps.qd, np.float32).T,
