@@ -77,9 +77,14 @@ def main() -> None:
     paths = batch_to_paths(batch)
     rets = [float(np.sum(p["rewards"])) for p in paths]
     if args.only_success:
-        es = np.asarray(batch.env_info["episode_success"]) * np.asarray(
-            batch.valid, np.float32
-        )
+        valid = np.asarray(batch.valid, np.float32)
+        ei = batch.env_info
+        if "episode_success" in ei:  # auto-reset sampler: emitted at done
+            es = np.asarray(ei["episode_success"]) * valid
+        elif "success" in ei:  # episodes mode: raw per-step predicate
+            es = np.asarray(ei["success"]) * valid
+        else:
+            raise SystemExit("--only-success: env reports no success info")
         ok = es.max(axis=1) > 0
         n0 = len(paths)
         paths = [p for p, s in zip(paths, ok) if s]
