@@ -73,6 +73,7 @@ class AdroitEnv(Env):
         horizon: Optional[int] = None,
         reward_variant: Optional[str] = None,
         constraint_solver: str = "penalty",
+        use_soa: Optional[bool] = None,
     ):
         from mjrl_tpu.physics.bridge import load_mj_model, model_from_mujoco
 
@@ -98,8 +99,14 @@ class AdroitEnv(Env):
         scale_limit_penalties(self.model, omega=60.0)
         from mjrl_tpu.physics.dispatch import make_frame_stepper
 
+        # ``use_soa=False`` (config: env_kwargs.use_soa) forces the per-env
+        # engine under vmap — the working fallback for configurations whose
+        # SoA program cannot compile on the current backend (adroit+newton:
+        # the ~400-candidate row assembly overflows the tunneled
+        # remote-compile helper even with the rebuild-in-loop vmem fix;
+        # see runs/queue_r5B.log PROBE FAIL).
         self._frame_step = make_frame_stepper(
-            self.model, self.frame_skip, with_link_delta=True
+            self.model, self.frame_skip, with_link_delta=True, use_soa=use_soa
         )
         self._site = {n: i for i, n in enumerate(self.model.site_name)}
         self._link = {n: i for i, n in enumerate(self.model.link_name)}
