@@ -105,7 +105,8 @@ def make_frame_stepper(
         if with_link_delta:
             d = args[3]
             delta_bl = d.reshape(d.shape[0], -1).T
-        if jax.default_backend() == "tpu":
+        no_pallas = os.environ.get("MJRL_TPU_NO_PALLAS", "0") == "1"
+        if jax.default_backend() == "tpu" and not no_pallas:
             from mjrl_tpu.physics.pkernel import multistep_pallas
 
             q2, qd2 = multistep_pallas(

@@ -25,6 +25,29 @@ import jax.numpy as jnp
 
 
 def main() -> None:
+    set_np = False
+    prev_np = os.environ.get("MJRL_TPU_NO_PALLAS")
+    if "--no-pallas" in sys.argv:
+        # Route the TPU SoA path through plain XLA jit instead of the
+        # Pallas mega-kernel (dispatch.py escape hatch): the adroit
+        # newton MOSAIC compile is what overflows the remote helper —
+        # XLA:TPU may survive the same batch-last program. The env var
+        # is restored on exit so an in-queue %py invocation does not
+        # leak it into later jobs.
+        os.environ["MJRL_TPU_NO_PALLAS"] = "1"
+        set_np = True
+        sys.argv.remove("--no-pallas")
+    try:
+        _probe()
+    finally:
+        if set_np:
+            if prev_np is None:
+                os.environ.pop("MJRL_TPU_NO_PALLAS", None)
+            else:
+                os.environ["MJRL_TPU_NO_PALLAS"] = prev_np
+
+
+def _probe() -> None:
     name = sys.argv[1] if len(sys.argv) > 1 else "adroit_pen"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     from mjrl_tpu import envs
