@@ -230,48 +230,57 @@ def _contact_rows(model: Model, pos, cdof, qd, candidates) -> List[_Row]:
         t2 = _cross(n, t1)
         Jt1 = {j: _dot(t1, Jrel[j]) for j in dofs}
         Jt2 = {j: _dot(t2, Jrel[j]) for j in dofs}
-        facets = [
-            {j: Jn[j] + np.float32(mu) * Jt1[j] for j in dofs},
-            {j: Jn[j] - np.float32(mu) * Jt1[j] for j in dofs},
-            {j: Jn[j] + np.float32(mu) * Jt2[j] for j in dofs},
-            {j: Jn[j] - np.float32(mu) * Jt2[j] for j in dofs},
-        ]
+        # SUBLANE-PACKED facet rows: the k = 4 (condim 3) or 6 (condim 4)
+        # pyramid facets of one candidate are stacked into a single (k, B)
+        # row set — one VMEM tile per dof instead of k, and a ~4x smaller
+        # trace (one vectorized op chain per candidate instead of one per
+        # facet). All facets of a candidate share pos/impedance/R, so D
+        # stays a broadcast (1, B) row; only aref varies per facet
+        # (through vel). The solver body reduces each packed row's
+        # contributions over the sublane axis (see _sum0) — algebraically
+        # identical to k separate rows.
+        mu_f = np.float32(mu)
+        per_dof = {
+            j: [
+                Jn[j] + mu_f * Jt1[j],
+                Jn[j] - mu_f * Jt1[j],
+                Jn[j] + mu_f * Jt2[j],
+                Jn[j] - mu_f * Jt2[j],
+            ]
+            for j in dofs
+        }
         if condim >= 4:
             # torsional rows: relative angular rate about the normal
-            mu_tor = float(max(tor[gi], tor[gj]))
+            mu_tor = np.float32(max(tor[gi], tor[gj]))
             ci, cj = _chain(model, li), _chain(model, lj)
-            Jtor = {}
             for j in dofs:
                 w = None
                 if j in ci:
                     w = cdof[j][0:3]
                 if j in cj:
                     w = -cdof[j][0:3] if w is None else w - cdof[j][0:3]
-                Jtor[j] = _dot(n, w) if w is not None else None
-            facets += [
-                {
-                    j: Jn[j] + np.float32(mu_tor) * Jtor[j]
-                    if Jtor[j] is not None
-                    else Jn[j]
-                    for j in dofs
-                },
-                {
-                    j: Jn[j] - np.float32(mu_tor) * Jtor[j]
-                    if Jtor[j] is not None
-                    else Jn[j]
-                    for j in dofs
-                },
-            ]
-        for J in facets:
-            vel = None
-            for j in dofs:
-                t = J[j] * qd[j : j + 1]
-                vel = t if vel is None else vel + t
-            rows.append(
-                _finish_row(model, J, dist, vel, solref, solimp, invw, mu,
-                            pyramidal=True)
-            )
+                jt = _dot(n, w) if w is not None else None
+                per_dof[j] += (
+                    [Jn[j] + mu_tor * jt, Jn[j] - mu_tor * jt]
+                    if jt is not None
+                    else [Jn[j], Jn[j]]
+                )
+        Jp = {j: jnp.concatenate(parts, axis=0) for j, parts in per_dof.items()}
+        vel = None
+        for j in dofs:
+            t = Jp[j] * qd[j : j + 1]
+            vel = t if vel is None else vel + t
+        rows.append(
+            _finish_row(model, Jp, dist, vel, solref, solimp, invw, mu,
+                        pyramidal=True)
+        )
     return rows
+
+
+def _sum0(a: jax.Array) -> jax.Array:
+    """Reduce a packed (k, B) row set's contribution to a (1, B) row;
+    identity for already-(1, B) rows (limit / condim-1 contacts)."""
+    return a if a.shape[0] == 1 else jnp.sum(a, axis=0, keepdims=True)
 
 
 # ---------------------------------------------------------------------------
@@ -440,12 +449,13 @@ def constrained_qdd(
             jr = (s if s is not None else 0.0) - row.aref
             jar.append(jr)
             w.append(jnp.where(jr < 0.0, row.D, 0.0))
-        # gradient g = M d0 + J^T (w * jar)
+        # gradient g = M d0 + J^T (w * jar); packed rows reduce over
+        # their sublane (facet) axis
         g = list(Md0)
         for r, row in enumerate(rows):
             wj = w[r] * jar[r]
             for j, Jj in row.J.items():
-                g[j] = g[j] + Jj * wj
+                g[j] = g[j] + _sum0(Jj * wj)
         # Hessian H = Mfull + J^T diag(w) J + 1e-8 I
         H = [[Mfull[i][j] for j in range(nv)] for i in range(nv)]
         for r, row in enumerate(rows):
@@ -453,7 +463,7 @@ def constrained_qdd(
             for a_i, i in enumerate(dofs):
                 wJi = w[r] * row.J[i]
                 for j in dofs[: a_i + 1]:
-                    t = wJi * row.J[j]
+                    t = _sum0(wJi * row.J[j])
                     H[i][j] = t if H[i][j] is None else H[i][j] + t
         for k in range(nv):
             H[k][k] = (
@@ -487,7 +497,7 @@ def constrained_qdd(
             c = 0.5 * (c0 + 2.0 * a * c1 + a * a * c2)
             for r, row in enumerate(rows):
                 ja = jar[r] + np.float32(a) * jd[r]
-                c = c + 0.5 * jnp.where(ja < 0.0, row.D, 0.0) * ja * ja
+                c = c + _sum0(0.5 * jnp.where(ja < 0.0, row.D, 0.0) * ja * ja)
             return c
 
         best_c = cost(_ALPHAS[0])
